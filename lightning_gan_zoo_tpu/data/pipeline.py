@@ -1,0 +1,94 @@
+"""Input pipeline: shuffled epochs of stacked superstep batches.
+
+Replaces the reference's DataLoader-per-epoch pattern
+(core/lightning_module.py:89-102, reload_dataloaders_every_epoch at
+run_network.py:69). The TPU superstep consumes (disc_freq+gen_freq)·accum
+micro-batches per dispatch, so the pipeline yields pytrees with a leading
+[n_micro, batch, ...] axis, prefetched on a background thread while the
+device computes.
+
+Per-host sharding for multi-process meshes: each process reads a disjoint
+index stripe (process_index::process_count), the pjit data axis consumes the
+per-host batch — the DistributedSampler equivalent (SURVEY §5.8).
+"""
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Dict, Iterator, Optional
+
+import numpy as np
+
+
+class EpochLoader:
+    def __init__(self, dataset, batch_size: int, n_micro: int = 1,
+                 shuffle: bool = True, seed: int = 42,
+                 drop_last: bool = True, process_index: int = 0,
+                 process_count: int = 1, prefetch: int = 2):
+        self.dataset = dataset
+        self.batch_size = int(batch_size)
+        self.n_micro = int(n_micro)
+        self.shuffle = shuffle
+        self.seed = seed
+        self.drop_last = drop_last
+        self.process_index = process_index
+        self.process_count = process_count
+        self.prefetch = prefetch
+
+    def steps_per_epoch(self) -> int:
+        per_host = len(self.dataset) // self.process_count
+        span = self.batch_size * self.n_micro
+        return per_host // span
+
+    def epoch(self, epoch_idx: int) -> Iterator[Dict[str, np.ndarray]]:
+        """Yield stacked superstep batches for one epoch (background thread)."""
+        n = len(self.dataset)
+        order = np.arange(n)
+        if self.shuffle:
+            rng = np.random.default_rng(self.seed + epoch_idx)
+            rng.shuffle(order)
+        order = order[self.process_index::self.process_count]
+        span = self.batch_size * self.n_micro
+        n_steps = len(order) // span if self.drop_last else -(-len(order) // span)
+        if n_steps == 0:
+            raise ValueError(
+                f"Dataset of {n} images yields zero supersteps at "
+                f"batch={self.batch_size}×{self.n_micro} micro-batches")
+
+        q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        def worker():
+            try:
+                for s in range(n_steps):
+                    if stop.is_set():
+                        return
+                    idx = order[s * span:(s + 1) * span]
+                    if len(idx) < span:  # pad the ragged tail batch
+                        idx = np.concatenate([idx, order[:span - len(idx)]])
+                    flat = self.dataset.load(idx)
+                    stacked = {
+                        k: (v.reshape((self.n_micro, self.batch_size)
+                                      + v.shape[1:])
+                            if not isinstance(v, dict) else
+                            {kk: vv.reshape((self.n_micro, self.batch_size)
+                                            + vv.shape[1:])
+                             for kk, vv in v.items()})
+                        for k, v in flat.items()}
+                    q.put(stacked)
+                q.put(None)
+            except BaseException as e:  # surface loader errors to consumer
+                q.put(e)
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        try:
+            while True:
+                item = q.get()
+                if item is None:
+                    return
+                if isinstance(item, BaseException):
+                    raise item
+                yield item
+        finally:
+            stop.set()

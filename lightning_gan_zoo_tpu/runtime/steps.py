@@ -1,0 +1,108 @@
+"""The jitted training superstep.
+
+The reference alternates optimizers across *batches* in frequency-weighted
+round-robin blocks (PL `frequency` dicts, core/lightning_module.py:84-87:
+disc_freq batches of D updates, then gen_freq batches of G updates — e.g.
+WGAN 5:1, HoloGAN 1:2). TPU-first, that whole cycle is folded into ONE jitted
+superstep that consumes a stacked pytree of (disc_freq+gen_freq)·accum
+micro-batches and runs the alternation on device — a single dispatch per
+cycle, no host round-trips (noise sampling included, replacing the per-step
+host RNG at lightning_module.py:107).
+
+Gradient accumulation (PL accumulate_grad_batches, run_network.py:62-64)
+averages grads over ``accum`` consecutive micro-batches before each optimizer
+update.
+"""
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from .state import TrainState
+
+
+def microbatch_count(disc_freq: int, gen_freq: int, accum: int = 1) -> int:
+    return (disc_freq + gen_freq) * accum
+
+
+def build_superstep(task, g_tx: optax.GradientTransformation,
+                    d_tx: optax.GradientTransformation,
+                    disc_freq: int, gen_freq: int, accum: int = 1
+                    ) -> Callable[[TrainState, Any, jax.Array],
+                                  Tuple[TrainState, Dict[str, jax.Array]]]:
+    """Returns superstep(state, batches, rng) -> (state, metrics).
+
+    ``batches`` is a pytree whose leaves have a leading axis of
+    (disc_freq+gen_freq)·accum micro-batches.
+    """
+    n_micro = microbatch_count(disc_freq, gen_freq, accum)
+
+    def superstep(state: TrainState, batches, rng: jax.Array):
+        metric_sums: Dict[str, jax.Array] = {}
+        metric_counts: Dict[str, int] = {}
+
+        def record(metrics: Dict[str, jax.Array]):
+            for k, v in metrics.items():
+                if k in metric_sums:
+                    metric_sums[k] = metric_sums[k] + v
+                    metric_counts[k] += 1
+                else:
+                    metric_sums[k] = v
+                    metric_counts[k] = 1
+
+        s = state
+        for k in range(disc_freq + gen_freq):
+            is_disc = k < disc_freq
+            grads_sum = None
+            for a in range(accum):
+                i = k * accum + a
+                micro = jax.tree.map(lambda x: x[i], batches)
+                rng_i = jax.random.fold_in(rng, i)
+                rng_z, rng_loss = jax.random.split(rng_i)
+
+                # WGAN clamps D weights at the top of every training_step,
+                # regardless of which optimizer runs (lightning_module.py:160).
+                if task.clips_disc:
+                    s = s.replace(d_params=task.clip_disc(s.d_params))
+
+                bsz = micro["image"].shape[0]
+                z = task.sample_z(rng_z, bsz)
+
+                if is_disc:
+                    (loss, aux), grads = jax.value_and_grad(
+                        task.disc_loss, has_aux=True)(
+                        s.d_params, s.g_params, s.g_state, s.d_state,
+                        micro, z, rng_loss, s.extra)
+                else:
+                    (loss, aux), grads = jax.value_and_grad(
+                        task.gen_loss, has_aux=True)(
+                        s.g_params, s.d_params, s.g_state, s.d_state,
+                        micro, z, rng_loss, s.extra)
+
+                s = s.replace(g_state=aux["g_state"], d_state=aux["d_state"],
+                              step=s.step + 1,
+                              extra=task.update_extra_after_microstep(s.extra))
+                record(aux["metrics"])
+                grads_sum = grads if grads_sum is None else jax.tree.map(
+                    jnp.add, grads_sum, grads)
+
+            grads = (grads_sum if accum == 1
+                     else jax.tree.map(lambda g: g / accum, grads_sum))
+            if is_disc:
+                updates, new_opt = d_tx.update(grads, s.d_opt, s.d_params)
+                s = s.replace(d_params=optax.apply_updates(s.d_params, updates),
+                              d_opt=new_opt, d_steps=s.d_steps + 1)
+            else:
+                updates, new_opt = g_tx.update(grads, s.g_opt, s.g_params)
+                s = s.replace(g_params=optax.apply_updates(s.g_params, updates),
+                              g_opt=new_opt, g_steps=s.g_steps + 1)
+
+        metrics = {k: (metric_sums[k] / metric_counts[k]).astype(jnp.float32)
+                   for k in metric_sums}
+        return s, metrics
+
+    superstep.n_micro = n_micro  # type: ignore[attr-defined]
+    return superstep

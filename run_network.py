@@ -1,0 +1,64 @@
+#!/usr/bin/env python
+"""CLI entry point — the Hydra-compatible surface of the TPU GAN zoo.
+
+Usage mirrors the reference (run_network.py:25-75 there):
+
+    python run_network.py +expt=dc_gan dataset=mnist calc_fid=False
+    python run_network.py +expt=pigan machine=local dataset=celeb_a
+    python run_network.py +expt=wgan dataset=mnist --cfg job   # print config
+
+Overrides: ``group=choice`` selects a config-group option, ``a.b.c=v`` sets a
+value, ``+key=v`` adds, ``~key`` deletes. ``--cfg job`` prints the composed
+config and exits (Hydra's debugging flag).
+"""
+from __future__ import annotations
+
+import os
+import sys
+from pathlib import Path
+
+REPO_ROOT = Path(__file__).resolve().parent
+sys.path.insert(0, str(REPO_ROOT))
+
+CONF_DIR = REPO_ROOT / "conf"
+
+
+def main(argv=None) -> int:
+    argv = list(sys.argv[1:] if argv is None else argv)
+
+    print_cfg = False
+    overrides = []
+    i = 0
+    while i < len(argv):
+        a = argv[i]
+        if a == "--cfg":
+            print_cfg = True
+            if i + 1 < len(argv) and argv[i + 1] in ("job", "all", "hydra"):
+                i += 1
+        elif a in ("-h", "--help"):
+            print(__doc__)
+            return 0
+        else:
+            overrides.append(a)
+        i += 1
+
+    from lightning_gan_zoo_tpu.config import compose, ComposeError
+    try:
+        cfg = compose(CONF_DIR, overrides)
+    except ComposeError as e:
+        print(f"Config composition error: {e}", file=sys.stderr)
+        return 2
+
+    if print_cfg:
+        import yaml
+        print(yaml.safe_dump(cfg.to_container(), sort_keys=False,
+                             default_flow_style=None))
+        return 0
+
+    from lightning_gan_zoo_tpu.runtime.loop import train
+    train(cfg)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
