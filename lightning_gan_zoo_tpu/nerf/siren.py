@@ -1,0 +1,185 @@
+"""FiLM-SIREN radiance fields (π-GAN) — reference core/nerf/implicit_function.py.
+
+The SIREN MLP over B×rays×points samples is the hottest π-GAN compute
+(SURVEY §3.4): it is expressed here as plain batched matmuls so XLA tiles it
+straight onto the MXU. Weight init follows the SIREN rule
+(implicit_function.py:31-38): U(±1/dim_in) for the first layer, else
+U(±√(c/dim_in)/w0); biases share the same bound.
+"""
+from __future__ import annotations
+
+import math
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+
+def siren_uniform(bound: float):
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+    return init
+
+
+class Siren(nn.Module):
+    """One FiLM-modulated sine layer: sin(w0·(γ·(Wx+b)+β))
+    (implicit_function.py:17-58)."""
+    dim_out: int
+    w0: float = 1.0
+    c: float = 6.0
+    is_first: bool = False
+    use_bias: bool = True
+    activation: Optional[Callable] = None  # None → Sine(w0)
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, gamma=None, beta=None):
+        dim_in = x.shape[-1]
+        w_std = (1.0 / dim_in) if self.is_first else \
+            (math.sqrt(self.c / dim_in) / self.w0)
+        out = nn.Dense(self.dim_out, use_bias=self.use_bias,
+                       kernel_init=siren_uniform(w_std),
+                       bias_init=siren_uniform(w_std),
+                       dtype=self.dtype)(x.astype(self.dtype))
+        # FiLM: γ/β are (B, dim_out); broadcast over ray/point dims
+        if gamma is not None:
+            g = gamma.reshape(gamma.shape[:1] + (1,) * (out.ndim - 2)
+                              + gamma.shape[-1:])
+            out = out * g.astype(out.dtype)
+        if beta is not None:
+            b = beta.reshape(beta.shape[:1] + (1,) * (out.ndim - 2)
+                             + beta.shape[-1:])
+            out = out + b.astype(out.dtype)
+        if self.activation is None:
+            return jnp.sin(self.w0 * out)
+        return self.activation(out)
+
+
+class SirenNet(nn.Module):
+    """Stack of Siren layers, w0_initial=30 first layer
+    (implicit_function.py:101-128)."""
+    dim_hidden: int
+    dim_out: int
+    num_layers: int
+    w0: float = 1.0
+    w0_initial: float = 30.0
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, gammas=None, betas=None):
+        for i in range(self.num_layers):
+            g = gammas[:, i] if gammas is not None else None
+            b = betas[:, i] if betas is not None else None
+            x = Siren(self.dim_hidden, w0=self.w0_initial if i == 0 else
+                      self.w0, is_first=(i == 0), dtype=self.dtype)(x, g, b)
+        return Siren(self.dim_out, w0=self.w0, dtype=self.dtype)(x)
+
+
+class MappingNetwork(nn.Module):
+    """z → per-head (γ, β) FiLM parameters; input L2-normalised
+    (implicit_function.py:77-99)."""
+    dim: int
+    dim_out: int
+    n_heads: int = 1
+    depth: int = 3
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, z):
+        x = z / jnp.maximum(jnp.linalg.norm(z, axis=-1, keepdims=True), 1e-12)
+        x = x.astype(self.dtype)
+        for _ in range(self.depth):
+            x = nn.leaky_relu(nn.Dense(self.dim * self.n_heads,
+                                       dtype=self.dtype)(x), 0.2)
+        gammas = nn.Dense(self.dim_out * self.n_heads, dtype=self.dtype)(x)
+        betas = nn.Dense(self.dim_out * self.n_heads, dtype=self.dtype)(x)
+        b = z.shape[0]
+        return (gammas.reshape(b, self.n_heads, self.dim_out),
+                betas.reshape(b, self.n_heads, self.dim_out))
+
+
+class SirenRadianceField(nn.Module):
+    """π-GAN radiance field: FiLM-SIREN trunk → α head; [feat‖dir] → rgb
+    siren → rgb head; sigmoids on both (implicit_function.py:130-191)."""
+    latent_z_dim: int
+    num_layers: int
+    dim_hidden: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, points, directions, z, **_kw):
+        """points: (B, N, P, 3) world ray points; directions: (B, N, 3)."""
+        gammas, betas = MappingNetwork(self.latent_z_dim, self.dim_hidden,
+                                       n_heads=self.num_layers,
+                                       dtype=self.dtype)(z)
+        rgb_g, rgb_b = MappingNetwork(self.latent_z_dim, self.dim_hidden,
+                                      n_heads=1, dtype=self.dtype,
+                                      name="rgb_mapping")(z)
+        dirs = directions / jnp.maximum(
+            jnp.linalg.norm(directions, axis=-1, keepdims=True), 1e-12)
+        dirs = jnp.broadcast_to(dirs[:, :, None, :], points.shape)
+
+        x = SirenNet(self.dim_hidden, self.dim_hidden, self.num_layers,
+                     dtype=self.dtype)(points, gammas, betas)
+        alpha = nn.Dense(1, dtype=self.dtype, name="to_alpha")(x)
+        x = jnp.concatenate([x, dirs.astype(x.dtype)], axis=-1)
+        x = Siren(self.dim_hidden, dtype=self.dtype,
+                  name="to_rgb_siren")(x, rgb_g[:, 0], rgb_b[:, 0])
+        rgb = nn.Dense(3, dtype=self.dtype, name="to_rgb")(x)
+        return nn.sigmoid(alpha), nn.sigmoid(rgb)
+
+
+class SirenSingleShape(nn.Module):
+    """ANIGAN variant: two SIREN trunks (rgb + alpha) over DEFORMED ray
+    points produced by deformer.transform (implicit_function.py:193-288).
+
+    The reference's no-deformation fallback feeds random noise
+    (torch.rand(...).cuda(), :276) — reproduced with an explicit 'deform'
+    rng stream."""
+    latent_z_dim: int
+    num_layers: int
+    dim_hidden: int
+    deformer: Optional[nn.Module] = None
+    input_channels: int = 3
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, points, directions, z, deformation_parameters=None,
+                 deformed_verts=None, mean_shape_verts=None, kp_verts=None,
+                 **_kw):
+        b = points.shape[0]
+        gammas, betas = MappingNetwork(self.latent_z_dim, self.dim_hidden,
+                                       n_heads=self.num_layers,
+                                       dtype=self.dtype)(z)
+        rgb_g, rgb_b = MappingNetwork(self.latent_z_dim, self.dim_hidden,
+                                      n_heads=1, dtype=self.dtype,
+                                      name="rgb_mapping")(z)
+        dirs = directions / jnp.maximum(
+            jnp.linalg.norm(directions, axis=-1, keepdims=True), 1e-12)
+        dirs = jnp.broadcast_to(dirs[:, :, None, :],
+                                points.shape[:-1] + (3,))
+
+        if deformation_parameters is not None or deformed_verts is not None:
+            flat = points.reshape(b, -1, 3)
+            deformed = self.deformer.transform(
+                flat, deformed_verts, mean_shape_verts, kp_verts,
+                deformation_parameters)
+            deformed = deformed.reshape(points.shape[:-1]
+                                        + (self.input_channels,))
+        else:
+            deformed = jax.random.uniform(
+                self.make_rng("deform"),
+                points.shape[:-1] + (self.input_channels,))
+
+        x = SirenNet(self.dim_hidden, self.dim_hidden, self.num_layers,
+                     dtype=self.dtype)(deformed, gammas, betas)
+        x = jnp.concatenate([x, dirs.astype(x.dtype)], axis=-1)
+        x = Siren(self.dim_hidden, dtype=self.dtype,
+                  name="to_rgb_siren")(x, rgb_g[:, 0], rgb_b[:, 0])
+        rgb = nn.Dense(3, dtype=self.dtype, name="to_rgb")(x)
+
+        a = SirenNet(self.dim_hidden, self.dim_hidden, self.num_layers,
+                     dtype=self.dtype, name="alpha_siren")(deformed)
+        alpha = nn.Dense(1, dtype=self.dtype, name="to_alpha")(a)
+        return nn.sigmoid(alpha), nn.sigmoid(rgb)

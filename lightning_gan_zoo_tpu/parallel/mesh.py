@@ -1,0 +1,61 @@
+"""Device mesh + sharding helpers (the DDP/NCCL replacement).
+
+The reference scales with one-process-per-GPU PL DDP and NCCL gradient
+all-reduce (run_network.py:66). TPU-native equivalent: a single-controller
+``jax.sharding.Mesh`` over the chips, the train superstep jitted with the
+batch sharded along the 'data' axis and the state replicated — XLA inserts
+the gradient psum over ICI automatically.
+
+``cfg.num_gpus`` (reference key, conf/config.yaml:4) selects how many local
+devices join the mesh.
+"""
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(num_devices: Optional[int] = None) -> Mesh:
+    devices = jax.devices()
+    if num_devices and num_devices > 0:
+        if num_devices > len(devices):
+            raise ValueError(
+                f"Requested {num_devices} devices, have {len(devices)} "
+                f"({[d.platform for d in devices[:4]]}...)")
+        devices = devices[:num_devices]
+    return Mesh(np.asarray(devices), ("data",))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def batch_sharding(mesh: Mesh, *, stacked: bool = True) -> NamedSharding:
+    """Micro-batch-stacked pytrees are [n_micro, batch, ...]: shard the batch
+    axis (axis 1); plain batches shard axis 0."""
+    return NamedSharding(mesh, P(None, "data") if stacked else P("data"))
+
+
+def shard_superstep(superstep, mesh: Mesh, donate_state: bool = True):
+    """jit the superstep with state replicated and batches data-sharded."""
+    rep = replicated(mesh)
+    bsh = batch_sharding(mesh, stacked=True)
+    return jax.jit(
+        superstep,
+        in_shardings=(rep, bsh, rep),
+        out_shardings=(rep, rep),
+        donate_argnums=(0,) if donate_state else (),
+    )
+
+
+def put_replicated(tree: Any, mesh: Mesh) -> Any:
+    rep = replicated(mesh)
+    return jax.device_put(tree, rep)
+
+
+def is_main_process() -> bool:
+    """rank_zero_only equivalent (reference figures/types.py:61)."""
+    return jax.process_index() == 0

@@ -1,0 +1,322 @@
+"""The training loop — the Trainer replacement.
+
+Orchestrates what PL's Trainer + callbacks do in the reference
+(run_network.py:41-72): task/model instantiation, dataloaders (rebuilt each
+epoch — reload_dataloaders_every_epoch semantics for π-GAN's variable batch
+size), the jitted superstep over a device mesh, validation with Real/Fake
+grids + FID/KID, figure callbacks, best-FID checkpointing, resume, resolution
+annealing, gradient accumulation scheduling, and profiling.
+"""
+from __future__ import annotations
+
+import os
+import time
+from pathlib import Path
+from typing import Any, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config.node import Config
+from ..config.registry import instantiate
+from ..data.pipeline import EpochLoader
+from ..figures.types import FigureContext
+from ..figures.image_io import make_grid, unnormalise
+from ..parallel import mesh as pmesh
+from ..utils.logging import ExperimentLogger
+from ..utils.profiling import StepTimer, TraceCapture
+from .checkpoint import CheckpointManager
+from .state import create_train_state
+from .steps import build_superstep, microbatch_count
+
+
+def _resolve_version(cfg: Config, output_root: Path) -> str:
+    """Reference versioning: cluster job id or cfg.version, else next int
+    (run_network.py:28-40)."""
+    v = cfg.get("version")
+    if v is not None:
+        return str(v)
+    for env in ("SLURM_JOB_ID", "SUBMITIT_JOB_ID"):
+        if os.environ.get(env):
+            return os.environ[env]
+    base = output_root / cfg.name
+    existing = [int(p.name.split("_")[-1]) for p in base.glob("version_*")
+                if p.name.split("_")[-1].isdigit()] if base.is_dir() else []
+    return f"version_{max(existing) + 1 if existing else 0}"
+
+
+def _dataset_kwargs(cfg: Config) -> dict:
+    return dict(img_size=int(cfg.train.img_size),
+                n_channels=int(cfg.train.channels_img),
+                data_mean=float(cfg.train.data_mean),
+                data_std=float(cfg.train.data_std))
+
+
+class Trainer:
+    def __init__(self, cfg: Config):
+        self.cfg = cfg
+        self.seed = int(cfg.get("seed", 42))
+        self.root_rng = jax.random.PRNGKey(self.seed)
+
+        out_root = Path(cfg.get("output_root", "output"))
+        self.version = _resolve_version(cfg, out_root)
+        self.logging_dir = out_root / cfg.name / self.version
+        self.logging_dir.mkdir(parents=True, exist_ok=True)
+        self.logger = ExperimentLogger(self.logging_dir)
+
+        # task (the LightningModule stand-in)
+        self.task = instantiate(cfg.model.lm, cfg, str(self.logging_dir))
+
+        # device mesh (ICI data parallelism; reference: PL DDP over num_gpus)
+        n_dev = int(cfg.get("num_gpus", 1) or 1)
+        self.mesh = pmesh.make_mesh(min(n_dev, len(jax.devices())))
+
+        # figures
+        self.figures = self._build_figures()
+
+        # checkpointing
+        ckpt_dir = cfg.train.get("ckpt_dir") or (self.logging_dir / "ckpts")
+        self.ckpt = CheckpointManager(ckpt_dir,
+                                      save_ckpts=bool(cfg.get("save_ckpts",
+                                                              True)))
+
+        # FID/KID evaluator (on-device, lazy)
+        self.metrics_eval = None
+        if bool(cfg.get("calc_fid", False)) and bool(cfg.val.get("use_fid",
+                                                                 True)):
+            from ..eval.metrics_callback import InceptionMetrics
+            self.metrics_eval = InceptionMetrics(cfg, self.task)
+
+        self.timer = StepTimer()
+        self.trace = TraceCapture(self.logging_dir / "trace",
+                                  enabled=bool(cfg.get("profile", False)))
+
+        self.epoch = 0
+        self.best_fid = float("inf")
+        self._fixed_noise = self.task.sample_z(
+            jax.random.fold_in(self.root_rng, 7), 8)
+
+        # dynamic (epoch-dependent) training shape knobs
+        self.current_batch_size = int(self._initial_batch_size())
+        self._compiled = {}
+        self._current_key = None
+        self.state = None
+        self.d_tx = self.g_tx = None
+
+    # ------------------------------------------------------------------ setup
+    def _build_figures(self) -> List[Any]:
+        figs = []
+        fig_nodes = self.cfg.get("figures") or {}
+        monitor = ("fid" if self.cfg.figure_details.get("fid_callback", False)
+                   else None)
+        for name, node in fig_nodes.items():
+            try:
+                figs.append(instantiate(node, self.cfg.figure_details,
+                                        str(self.logging_dir),
+                                        monitor=monitor))
+            except Exception as e:
+                print(f"[figures] skipping {name}: {e}")
+        return figs
+
+    def _initial_batch_size(self) -> int:
+        if "variable_batch_size" in self.cfg:
+            try:
+                return int(self.cfg.variable_batch_size.batch_sizes[0])
+            except Exception:
+                pass
+        return int(self.cfg.train.batch_size)
+
+    def _accum_factor(self) -> int:
+        node = self.cfg.get("accumulate_grad_batches", 1)
+        if isinstance(node, (int, float)):
+            return max(int(node), 1)
+        # epoch-scheduled {start_epoch, accumulation_factor}
+        # (run_network.py:62-64, conf/machine/*.yaml)
+        start = int(node.get("start_epoch", 0))
+        factor = int(node.get("accumulation_factor", 1))
+        return factor if self.epoch >= start else 1
+
+    def _update_epoch_schedules(self):
+        """Variable batch size + resolution annealing at epoch boundaries
+        (core/lightning_module.py:272-283, core/callback_train_res.py)."""
+        cfg = self.cfg
+        if "variable_batch_size" in cfg:
+            ups = list(cfg.variable_batch_size.update_epochs)
+            if self.epoch in ups:
+                idx = ups.index(self.epoch) + 1
+                sizes = list(cfg.variable_batch_size.batch_sizes)
+                if idx < len(sizes):
+                    self.current_batch_size = int(sizes[idx])
+                    print(f"Batch size for this epoch: "
+                          f"{self.current_batch_size}")
+        if bool(cfg.get("use_resolution_annealing", False)):
+            ra = cfg.resolution_annealing
+            ups = list(ra.update_epochs)
+            if self.epoch in ups:
+                idx = ups.index(self.epoch) + 1
+                res = list(ra.resolutions)
+                if idx < len(res):
+                    self.task.increase_resolution(int(res[idx]))
+                    if self.state is not None:
+                        self.state = self.state.replace(
+                            extra=self.task.reset_alpha(self.state.extra))
+                    print(f"Training resolution → {res[idx]}")
+
+    def _make_train_loader(self) -> EpochLoader:
+        ds = instantiate(self.cfg.dataset.train, **_dataset_kwargs(self.cfg))
+        disc_freq = int(self.cfg.optimisation.disc_freq)
+        gen_freq = int(self.cfg.optimisation.gen_freq)
+        n_micro = microbatch_count(disc_freq, gen_freq, self._accum_factor())
+        return EpochLoader(ds, self.current_batch_size, n_micro=n_micro,
+                           seed=self.seed,
+                           process_index=jax.process_index(),
+                           process_count=jax.process_count())
+
+    def _get_step_fn(self):
+        """(Re)build + jit the superstep when shape-relevant knobs change."""
+        key = (self.current_batch_size, self._accum_factor(),
+               getattr(self.task, "training_resolution", None))
+        if key != self._current_key:
+            disc_freq = int(self.cfg.optimisation.disc_freq)
+            gen_freq = int(self.cfg.optimisation.gen_freq)
+            raw = build_superstep(self.task, self.g_tx, self.d_tx,
+                                  disc_freq, gen_freq, self._accum_factor())
+            self._compiled[key] = pmesh.shard_superstep(raw, self.mesh)
+            self._current_key = key
+        return self._compiled[key]
+
+    # ---------------------------------------------------------------- init/resume
+    def _init_state(self, steps_per_epoch: int):
+        self.d_tx, self.g_tx = None, None
+        d_tx, g_tx = self.task.configure_optimizers(steps_per_epoch)
+        self.d_tx, self.g_tx = d_tx, g_tx
+        g_vars, d_vars = self.task.init(jax.random.fold_in(self.root_rng, 0))
+        state = create_train_state(g_vars, d_vars, g_tx, d_tx,
+                                   extra=self.task.initial_extra())
+        resume_path = CheckpointManager.find_ckpt(
+            self.cfg.train.get("ckpt_dir"))
+        if resume_path is not None:
+            print(f"Resuming from {resume_path}")
+            state, meta = self.ckpt.restore(resume_path,
+                                            jax.device_get(state))
+            self.epoch = int(meta.get("epoch", 0)) + 1
+            self.best_fid = float(meta.get("fid") or float("inf"))
+            # fast-forward epoch-scheduled knobs
+            for e in range(self.epoch + 1):
+                saved_epoch, self.epoch = self.epoch, e
+                self._update_epoch_schedules()
+                self.epoch = saved_epoch
+        self.state = pmesh.put_replicated(state, self.mesh)
+
+    # ------------------------------------------------------------------- train
+    def fit(self):
+        fast_dev_run = bool(self.cfg.debug.get("fast_dev_run", False))
+        num_epochs = 1 if fast_dev_run else int(self.cfg.train.num_epochs)
+
+        loader = self._make_train_loader()
+        steps_per_epoch = loader.steps_per_epoch()
+        self._init_state(steps_per_epoch)
+
+        global_step = int(self.state.step)
+        while self.epoch < num_epochs:
+            self._update_epoch_schedules()
+            loader = self._make_train_loader()
+            step_fn = self._get_step_fn()
+            epoch_metrics: Dict[str, list] = {}
+            t_epoch = time.perf_counter()
+            for batch in loader.epoch(self.epoch):
+                rng = jax.random.fold_in(self.root_rng, int(self.state.step))
+                self.timer.start()
+                self.state, metrics = step_fn(self.state, batch, rng)
+                jax.block_until_ready(metrics)
+                self.timer.stop()
+                self.trace.tick()
+                for k, v in metrics.items():
+                    epoch_metrics.setdefault(f"train/{k}", []).append(
+                        float(v))
+                global_step = int(self.state.step)
+                if fast_dev_run:
+                    break
+
+            means = {k: float(np.mean(v)) for k, v in epoch_metrics.items()}
+            perf = self.timer.summary(
+                images_per_step=self.current_batch_size * loader.n_micro)
+            means["perf/images_per_sec"] = perf["images_per_sec"]
+            self.logger.log_scalars(means, global_step)
+            dt = time.perf_counter() - t_epoch
+            loss_str = " ".join(f"{k.split('/')[-1]}={v:.4f}"
+                                for k, v in means.items())
+            print(f"epoch {self.epoch} [{dt:.1f}s] {loss_str}")
+            self.timer.reset()
+
+            if (self.epoch % int(self.cfg.val.get("every_n_epochs", 1)) == 0
+                    or fast_dev_run):
+                self.validate(global_step)
+
+            self.epoch += 1
+            if fast_dev_run:
+                break
+        self.trace.close()
+        self.logger.flush()
+
+    # --------------------------------------------------------------- validate
+    def validate(self, global_step: int):
+        cfg = self.cfg
+        rng = jax.random.fold_in(self.root_rng, 10_000 + self.epoch)
+        metrics: Dict[str, float] = {}
+
+        # Real/Fake grids (reference validation_epoch_end,
+        # lightning_module.py:64-73)
+        try:
+            val_ds = instantiate(cfg.dataset.val, **_dataset_kwargs(cfg))
+            real = val_ds.load(list(range(min(8, len(val_ds)))))["image"]
+            self.logger.log_image(
+                "Real", make_grid(unnormalise(real, cfg.train.data_mean,
+                                              cfg.train.data_std), ncol=8),
+                global_step)
+        except FileNotFoundError as e:
+            print(f"[val] no val dataset: {e}")
+        fake = np.asarray(self.task.generate(
+            self.state.g_params, self.state.g_state, self._fixed_noise,
+            rng=rng))
+        self.logger.log_image(
+            "Fake", make_grid(unnormalise(fake[..., :3],
+                                          cfg.train.data_mean,
+                                          cfg.train.data_std), ncol=8),
+            global_step)
+
+        # FID / KID
+        if self.metrics_eval is not None:
+            fid_kid = self.metrics_eval.compute(
+                self.state.g_params, self.state.g_state, rng)
+            metrics.update(fid_kid)
+            self.logger.log_scalars(fid_kid, global_step)
+            print("  " + " ".join(f"{k}={v:.3f}" for k, v in fid_kid.items()))
+
+        # figures
+        ctx = FigureContext(task=self.task, g_params=self.state.g_params,
+                            g_state=self.state.g_state, cfg=cfg,
+                            epoch=self.epoch, rng=rng)
+        for fig in self.figures:
+            try:
+                fig.on_validation_end(ctx, metrics)
+            except NotImplementedError as e:
+                print(f"[figures] {type(fig).__name__}: {e}")
+
+        # checkpoint (best-FID policy; without FID keep latest)
+        fid = metrics.get("fid")
+        if fid is None or fid < self.best_fid:
+            if fid is not None:
+                self.best_fid = fid
+            self.ckpt.save_best(jax.device_get(self.state), epoch=self.epoch,
+                                fid=fid)
+
+
+def train(cfg: Config):
+    if bool(cfg.debug.get("verbose_shape", False)):
+        print("[debug] verbose_shape: shapes print at module init "
+              "(flax tabulate available via tasks)")
+    trainer = Trainer(cfg)
+    trainer.fit()
+    return trainer

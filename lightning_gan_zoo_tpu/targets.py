@@ -138,10 +138,10 @@ def _animal_folder(**kw):
 # --- figures ---------------------------------------------------------------
 
 def _figure(name):
-    def factory(**kw):
+    def factory(*args, **kw):
         from . import figures
         cls = getattr(figures, name)
-        return cls(**kw)
+        return cls(*args, **kw)
     factory.__name__ = f"make_{name}"
     return factory
 

@@ -132,6 +132,20 @@ class GANTask:
                              train=False, rngs=rngs, mutable=False, **kwargs)
         return out
 
+    # -- optimizers ---------------------------------------------------------
+    def configure_optimizers(self, steps_per_epoch: int):
+        """Return (d_tx, g_tx) optax transformations — the functional
+        equivalent of BaseGAN.configure_optimizers
+        (core/lightning_module.py:75-87)."""
+        from ..runtime.optim import build_lr_schedule, build_optimizer
+        sched = build_lr_schedule(
+            self.cfg.optimisation.get("lr_scheduler"),
+            steps_per_epoch=steps_per_epoch,
+            total_epochs=int(self.cfg.train.num_epochs))
+        d_tx = build_optimizer(self.cfg.disc_optimiser, sched)
+        g_tx = build_optimizer(self.cfg.gen_optimiser, sched)
+        return d_tx, g_tx
+
     # -- hooks ----------------------------------------------------------------
     def clip_disc(self, d_params):
         return d_params

@@ -152,6 +152,12 @@ class HOLOGAN(GANTask):
     def model_rngs(self, rng) -> Dict[str, jax.Array]:
         return {"view": rng}
 
+    def sample_view(self, rng, n: int):
+        """6-dof pose sampler exposed for figures (Interpolation3d etc.,
+        reference types.py:275-276)."""
+        from ..models.hologan import sample_view
+        return sample_view(rng, n, self.cfg.generator.view_args)
+
     def disc_loss(self, d_params, g_params, g_state, d_state, batch, z, rng,
                   extra):
         real = batch["image"]

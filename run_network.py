@@ -42,6 +42,15 @@ def main(argv=None) -> int:
             overrides.append(a)
         i += 1
 
+    # Persistent XLA compilation cache: first compile is slow (esp. the
+    # 20-40s TPU cold compile), reruns are near-instant.
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                          os.path.expanduser("~/.cache/jax"))
+    import jax
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ["JAX_COMPILATION_CACHE_DIR"])
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
     from lightning_gan_zoo_tpu.config import compose, ComposeError
     try:
         cfg = compose(CONF_DIR, overrides)
