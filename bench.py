@@ -1,0 +1,98 @@
+#!/usr/bin/env python
+"""Benchmark: G+D train images/sec/chip on the flagship DCGAN CelebA-64
+config (BASELINE.md scoreboard metric).
+
+Runs the full alternating superstep (1 D update + 1 G update per cycle,
+batch 128 @ 64×64, bf16 compute — conf defaults) on synthetic data staged on
+device, and prints ONE JSON line.
+
+``vs_baseline`` divides by a nominal reference throughput of 2500 images/sec
+— an estimate of the reference stack (PyTorch-Lightning DCGAN-64, batch 128,
+AMP fp16) on one V100-class GPU; the reference publishes no numbers
+(BASELINE.md: "published": {}), so this anchor is documented here and held
+fixed across rounds for comparability.
+
+Env knobs: BENCH_BATCH, BENCH_STEPS, BENCH_IMG (for smoke runs on CPU).
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent
+sys.path.insert(0, str(REPO))
+
+REFERENCE_IMAGES_PER_SEC = 2500.0  # documented anchor, see module docstring
+
+
+def main():
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                          os.path.expanduser("~/.cache/jax"))
+    import jax
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ["JAX_COMPILATION_CACHE_DIR"])
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    import jax.numpy as jnp
+    import numpy as np
+
+    from lightning_gan_zoo_tpu.config import compose
+    from lightning_gan_zoo_tpu.config.registry import instantiate
+    from lightning_gan_zoo_tpu.parallel import mesh as pmesh
+    from lightning_gan_zoo_tpu.runtime.state import create_train_state
+    from lightning_gan_zoo_tpu.runtime.steps import (build_superstep,
+                                                     microbatch_count)
+
+    batch = int(os.environ.get("BENCH_BATCH", 128))
+    img = int(os.environ.get("BENCH_IMG", 64))
+    steps = int(os.environ.get("BENCH_STEPS", 30))
+
+    cfg = compose(REPO / "conf", [
+        "+expt=dc_gan", "dataset=synthetic", "calc_fid=False",
+        "save_ckpts=False", f"train.batch_size={batch}",
+        f"train.img_size={img}"])
+    task = instantiate(cfg.model.lm, cfg, "/tmp/bench")
+
+    n_chips = len(jax.devices())
+    mesh = pmesh.make_mesh(n_chips)
+    d_tx, g_tx = task.configure_optimizers(steps_per_epoch=100)
+    g_vars, d_vars = task.init(jax.random.PRNGKey(0))
+    state = pmesh.put_replicated(
+        create_train_state(g_vars, d_vars, g_tx, d_tx), mesh)
+    step = pmesh.shard_superstep(
+        build_superstep(task, g_tx, d_tx, 1, 1), mesh, donate_state=True)
+
+    n_micro = microbatch_count(1, 1)
+    batches = {
+        "image": jnp.asarray(np.random.default_rng(0).normal(
+            size=(n_micro, batch, img, img, 3)).astype(np.float32) * 0.5),
+        "label": jnp.zeros((n_micro, batch), jnp.int32),
+    }
+    batches = jax.device_put(batches, pmesh.batch_sharding(mesh))
+
+    # warm-up / compile; a host transfer (not just block_until_ready) is the
+    # only reliable fence through the axon tunnel
+    state, metrics = step(state, batches, jax.random.PRNGKey(0))
+    float(metrics["d_loss"])
+
+    t0 = time.perf_counter()
+    for i in range(steps):
+        state, metrics = step(state, batches, jax.random.PRNGKey(i + 1))
+    float(metrics["d_loss"])  # fetch forces the whole dependent chain
+    dt = time.perf_counter() - t0
+
+    images_per_step = batch * n_micro  # images consumed per superstep
+    ips = images_per_step * steps / dt
+    ips_per_chip = ips / n_chips
+    print(json.dumps({
+        "metric": f"dcgan_celeba{img}_train_images_per_sec_per_chip",
+        "value": round(ips_per_chip, 2),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(ips_per_chip / REFERENCE_IMAGES_PER_SEC, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -159,7 +159,8 @@ class Composer:
         # 3. appended groups (e.g. +expt=dc_gan, machine=small), each with its
         #    own defaults list processed first (figure packages, overrides)
         for group, choice in appends:
-            self._merge_group(cfg, group, choice, package=None)
+            self._merge_group(cfg, group, choice, package=None,
+                              replace=True)
         # 4. CLI value overrides
         for ov in value_overrides:
             key, value = ov.split("=", 1)
@@ -178,7 +179,7 @@ class Composer:
         return "." not in key and (self.config_dir / key).is_dir()
 
     def _merge_group(self, cfg: Config, group: str, choice: str,
-                     package: str | None):
+                     package: str | None, replace: bool = False):
         gf = _GroupFile(self.config_dir, group, choice)
         node, file_pkg = _load_yaml(gf.path)
         nested = node.raw("defaults") or []
@@ -207,6 +208,16 @@ class Composer:
             pkg = group  # default package = group path
         if pkg == "_global_":
             _deep_merge(cfg, node)
+        elif replace:
+            # CLI group selection replaces the previously composed choice
+            # wholesale — stale keys from the old option must not survive
+            try:
+                cfg.delete_dotted(pkg)
+            except KeyError:
+                pass
+            sub = Config()
+            sub.set_dotted(pkg, node)
+            _deep_merge(cfg, sub)
         else:
             sub = Config()
             sub.set_dotted(pkg, node)

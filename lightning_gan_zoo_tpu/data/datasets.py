@@ -196,7 +196,8 @@ class AnimalAnalysisFolder(ImageFolder):
         per_key: Dict[str, list] = {k: [] for k in self._ANALYSIS_KEYS}
         for i in indices:
             path, _ = self.samples[int(i)]
-            npz = np.load(self.analysis_root / f"{path.name}.npz")
+            # reference maps <img>.png → <img>.npz (core/anigan/dataset.py:21)
+            npz = np.load(self.analysis_root / (path.stem + ".npz"))
             for k in self._ANALYSIS_KEYS:
                 if k in npz:
                     per_key[k].append(np.asarray(npz[k], np.float32))

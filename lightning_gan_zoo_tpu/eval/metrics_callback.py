@@ -1,0 +1,132 @@
+"""FID/KID validation monitoring — the InceptionMetrics callback, on device.
+
+Reference behaviour (core/callback_inception_metrics.py:144-246): generate
+``val.fid_n_samples`` fakes from fixed pre-split z batches, write each as PNG,
+run the pip FID InceptionV3 over the fake dir and the real dir (with an
+``inception_cache.npz`` stats cache), compute FID + polynomial-MMD KID.
+
+TPU-native redesign: NO disk round-trip — fakes stream straight from the
+generator into the jitted Inception pool3 extractor in batches; real
+activations come from the dataset reader once and are cached as
+``inception_cache.npz`` next to the dataset (same cache filename contract,
+:155-159). Greyscale → RGB tiling and [0,1] clamping match :194-199.
+"""
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config.node import Config
+from ..config.registry import instantiate
+from . import fid as fid_ops
+from .inception import build as build_inception
+
+
+class InceptionMetrics:
+    def __init__(self, cfg: Config, task, batch_size: Optional[int] = None):
+        self.cfg = cfg
+        self.task = task
+        self.n_samples = int(cfg.val.get("fid_n_samples", 5000))
+        # reference generates in batches of 50 (:166-168); never exceed the
+        # sample count (avoids compiling an oversized bucket)
+        self.batch_size = int(batch_size or cfg.val.get(
+            "fid_batch_size", min(50, self.n_samples)))
+        weights = cfg.val.get("inception_weights_path")
+        self.model, self.variables = build_inception(weights)
+        self._acts_fn = jax.jit(
+            lambda imgs: self.model.apply(self.variables, imgs))
+        self._real_stats = None
+        self._real_acts = None
+
+    # -- activations ----------------------------------------------------------
+    def _activations_from_images(self, images01: np.ndarray) -> np.ndarray:
+        """images01: (N, H, W, C) float in [0,1]; returns (N, 2048)."""
+        outs = []
+        bs = self.batch_size
+        n = images01.shape[0]
+        pad = (-n) % bs
+        if pad:
+            images01 = np.concatenate(
+                [images01, np.repeat(images01[-1:], pad, axis=0)], axis=0)
+        for i in range(0, images01.shape[0], bs):
+            chunk = jnp.asarray(images01[i:i + bs])
+            if chunk.shape[-1] == 1:
+                chunk = jnp.repeat(chunk, 3, axis=-1)
+            outs.append(np.asarray(self._acts_fn(chunk)))
+        return np.concatenate(outs, axis=0)[:n]
+
+    def _generator_images(self, g_params, g_state, rng) -> np.ndarray:
+        """Generate n_samples fakes in fixed batches (reference pre-splits z
+        into batches of 50, :166-168) and map to [0,1]."""
+        mean = float(self.cfg.train.data_mean)
+        std = float(self.cfg.train.data_std)
+        outs = []
+        n_batches = -(-self.n_samples // self.batch_size)
+        for i in range(n_batches):
+            r = jax.random.fold_in(rng, i)
+            z = self.task.sample_z(r, self.batch_size)
+            fake = self.task.generate(g_params, g_state, z,
+                                      rng=jax.random.fold_in(r, 1))
+            fake = np.asarray(fake)[..., :3]
+            outs.append(np.clip(fake * std + mean, 0.0, 1.0))
+        return np.concatenate(outs, axis=0)[:self.n_samples]
+
+    # -- real side --------------------------------------------------------------
+    def _cache_path(self) -> Optional[Path]:
+        root = self.cfg.dataset.get("root")
+        if not root:
+            return None
+        return Path(str(root)) / "inception_cache.npz"
+
+    def _real_activations(self) -> np.ndarray:
+        if self._real_acts is not None:
+            return self._real_acts
+        cache = self._cache_path()
+        if cache and cache.exists():
+            data = np.load(cache)
+            if "act" in data:
+                self._real_acts = data["act"]
+                return self._real_acts
+        ds = instantiate(self.cfg.dataset.val,
+                         img_size=int(self.cfg.train.img_size),
+                         n_channels=int(self.cfg.train.channels_img),
+                         data_mean=float(self.cfg.train.data_mean),
+                         data_std=float(self.cfg.train.data_std))
+        n = min(len(ds), self.n_samples)
+        mean = float(self.cfg.train.data_mean)
+        std = float(self.cfg.train.data_std)
+        acts = []
+        for i in range(0, n, self.batch_size):
+            idx = list(range(i, min(i + self.batch_size, n)))
+            imgs = ds.load(idx)["image"]
+            imgs01 = np.clip(imgs * std + mean, 0.0, 1.0)
+            acts.append(self._activations_from_images(imgs01))
+        self._real_acts = np.concatenate(acts, axis=0)
+        if cache:
+            try:
+                cache.parent.mkdir(parents=True, exist_ok=True)
+                mu, sigma = fid_ops.stats_from_activations(
+                    jnp.asarray(self._real_acts))
+                np.savez(cache, act=self._real_acts, mu=np.asarray(mu),
+                         sigma=np.asarray(sigma))
+            except OSError:
+                pass
+        return self._real_acts
+
+    # -- public -------------------------------------------------------------------
+    def compute(self, g_params, g_state, rng) -> Dict[str, float]:
+        fake_imgs = self._generator_images(g_params, g_state, rng)
+        fake_acts = self._activations_from_images(fake_imgs)
+        real_acts = self._real_activations()
+
+        mu_f, sig_f = fid_ops.stats_from_activations(jnp.asarray(fake_acts))
+        mu_r, sig_r = fid_ops.stats_from_activations(jnp.asarray(real_acts))
+        fid = float(fid_ops.frechet_distance(mu_r, sig_r, mu_f, sig_f))
+        kid = float(fid_ops.kid_from_activations(
+            jax.random.fold_in(rng, 777), jnp.asarray(real_acts),
+            jnp.asarray(fake_acts)))
+        return {"fid": fid, "kid": kid}

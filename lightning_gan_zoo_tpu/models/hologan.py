@@ -108,7 +108,13 @@ def rigid_transform_volume(voxels: jax.Array, view: jax.Array,
                       jnp.ones(new_size ** 3)], axis=0).astype(jnp.float32)
     warped = inv @ grid[None]                      # (B, 4, N)
     coords = jnp.moveaxis(warped[:, :3, :], 1, 2)  # (B, N, 3) = (x, y, z)
-    out = trilinear_resample(voxels.astype(jnp.float32), coords)
+    if jax.default_backend() == "tpu":
+        # MXU one-hot-matmul kernel (ops/pallas/trilinear.py) — gathers
+        # serialise on TPU; the matmul formulation runs on the systolic array
+        from ..ops.pallas.trilinear import trilinear_resample_mxu
+        out = trilinear_resample_mxu(voxels.astype(jnp.float32), coords)
+    else:
+        out = trilinear_resample(voxels.astype(jnp.float32), coords)
     return out.reshape(b, new_size, new_size, new_size, voxels.shape[-1]
                        ).astype(voxels.dtype)
 

@@ -73,7 +73,11 @@ def sample_pdf(rng: jax.Array, bins: jax.Array, weights: jax.Array,
         u = jax.random.uniform(rng, cdf.shape[:-1] + (n_samples,),
                                dtype=cdf.dtype)
 
-    inds = jnp.searchsorted(cdf, u, side="right", method="compare_all")
+    # batched searchsorted-right: count cdf entries ≤ u. The bin axis is
+    # tiny (≤ n_pts+1), so the dense comparison is cheaper on TPU than a
+    # sorted-search loop.
+    inds = jnp.sum((cdf[..., None, :] <= u[..., :, None]).astype(jnp.int32),
+                   axis=-1)
     below = jnp.clip(inds - 1, 0, cdf.shape[-1] - 1)
     above = jnp.clip(inds, 0, cdf.shape[-1] - 1)
 

@@ -39,13 +39,15 @@ def trilinear_resample(voxels: Array, coords: Array) -> Array:
     x0 = jnp.floor(x)
     y0 = jnp.floor(y)
     z0 = jnp.floor(z)
-    # corner integer indices, clamped to the volume
+    # corner integer indices, clamped independently from the UNCLAMPED floor
+    # (torch semantics, hologan_generator.py:249-261) — clamping x1 from an
+    # already-clamped x0 would blend in the wrong neighbour below 0
     x0i = jnp.clip(x0.astype(jnp.int32), 0, w - 1)
-    x1i = jnp.clip(x0i + 1, 0, w - 1)
+    x1i = jnp.clip(x0.astype(jnp.int32) + 1, 0, w - 1)
     y0i = jnp.clip(y0.astype(jnp.int32), 0, h - 1)
-    y1i = jnp.clip(y0i + 1, 0, h - 1)
+    y1i = jnp.clip(y0.astype(jnp.int32) + 1, 0, h - 1)
     z0i = jnp.clip(z0.astype(jnp.int32), 0, d - 1)
-    z1i = jnp.clip(z0i + 1, 0, d - 1)
+    z1i = jnp.clip(z0.astype(jnp.int32) + 1, 0, d - 1)
 
     flat = voxels.reshape(b, d * h * w, c)
 
@@ -98,9 +100,9 @@ def bilinear_sample(images: Array, xys: Array, *, align_corners: bool = True
     x0 = jnp.floor(fx)
     y0 = jnp.floor(fy)
     x0i = jnp.clip(x0.astype(jnp.int32), 0, w - 1)
-    x1i = jnp.clip(x0i + 1, 0, w - 1)
+    x1i = jnp.clip(x0.astype(jnp.int32) + 1, 0, w - 1)
     y0i = jnp.clip(y0.astype(jnp.int32), 0, h - 1)
-    y1i = jnp.clip(y0i + 1, 0, h - 1)
+    y1i = jnp.clip(y0.astype(jnp.int32) + 1, 0, h - 1)
 
     flat = images.reshape(b, h * w, c)
 

@@ -1,0 +1,162 @@
+"""Pallas TPU kernel: trilinear volume resampling on the MXU.
+
+The HoloGAN hot op (SURVEY §2.6 "custom Pallas grid-sample kernel"): resample
+a (B, D, H, W, C) feature volume at (B, N, 3) continuous points. The XLA
+fallback (ops/grid_sample.trilinear_resample) issues 8 dynamic gathers per
+point — gathers serialise on the TPU's scalar/vector units. This kernel
+reformulates the interpolation as a *tensor-product one-hot matmul*:
+
+    out[n, c] = Σ_{d,h,w} wz[n,d] · wy[n,h] · wx[n,w] · vox[d,h,w,c]
+
+where the per-axis weights are hat functions w[n,k] = max(0, 1 − |p_n − k|)
+of the (border-clamped) sample coordinate — identical math to 8-corner
+trilinear interpolation, but expressed as a dense (TILE_N, D·H·W) @
+(D·H·W, C) matmul that runs on the MXU at full tilt. For HoloGAN's 16³×64
+volumes the extra FLOPs are trivial against MXU throughput while removing
+every gather from the hot path.
+
+Differentiation: custom VJP. The cotangent flows to the VOLUME only
+(d_vox = Σ_tiles wᵀ @ g, same kernel structure); the sample coordinates get
+zero gradient — in HoloGAN they derive from the randomly *sampled* view, not
+from parameters (hologan_generator.py:119), so no gradient is needed. The
+XLA fallback keeps full coordinate gradients for any future caller that
+wants them.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+TILE_N = 256
+
+
+def _axis_weights(p, size):
+    """Hat-function weights (TILE, size) for border-clamped coordinates."""
+    pc = jnp.clip(p, 0.0, size - 1.0)
+    k = jax.lax.broadcasted_iota(jnp.float32, (p.shape[0], size), 1)
+    return jnp.maximum(0.0, 1.0 - jnp.abs(pc[:, None] - k))
+
+
+def _fwd_kernel(coords_ref, vox_ref, out_ref, *, d, h, w):
+    # coords_ref: (1, 3, TILE_N); vox_ref: (1, D*H*W, C); out: (1, TILE_N, C)
+    x = coords_ref[0, 0, :]
+    y = coords_ref[0, 1, :]
+    z = coords_ref[0, 2, :]
+    wx = _axis_weights(x, w)                      # (T, W)
+    wy = _axis_weights(y, h)                      # (T, H)
+    wz = _axis_weights(z, d)                      # (T, D)
+    wgt = (wz[:, :, None, None] * wy[:, None, :, None]
+           * wx[:, None, None, :]).reshape(x.shape[0], d * h * w)
+    out_ref[0] = jnp.dot(wgt, vox_ref[0],
+                         preferred_element_type=jnp.float32)
+
+
+def _bwd_kernel(coords_ref, g_ref, dvox_ref, acc, *, d, h, w, n_tiles):
+    # grid: (B, n_tiles); accumulate wᵀ @ g over point tiles into scratch
+    t = pl.program_id(1)
+    x = coords_ref[0, 0, :]
+    y = coords_ref[0, 1, :]
+    z = coords_ref[0, 2, :]
+    wx = _axis_weights(x, w)
+    wy = _axis_weights(y, h)
+    wz = _axis_weights(z, d)
+    wgt = (wz[:, :, None, None] * wy[:, None, :, None]
+           * wx[:, None, None, :]).reshape(x.shape[0], d * h * w)
+    contrib = jnp.dot(wgt.T, g_ref[0], preferred_element_type=jnp.float32)
+
+    @pl.when(t == 0)
+    def _():
+        acc[:] = contrib
+
+    @pl.when(t > 0)
+    def _():
+        acc[:] = acc[:] + contrib
+
+    @pl.when(t == n_tiles - 1)
+    def _():
+        dvox_ref[0] = acc[:]
+
+
+def _pad_points(coords, tile):
+    b, n, _ = coords.shape
+    pad = (-n) % tile
+    if pad:
+        coords = jnp.concatenate(
+            [coords, jnp.zeros((b, pad, 3), coords.dtype)], axis=1)
+    return coords, n
+
+
+def _forward(voxels, coords, *, interpret=False):
+    b, d, h, w, c = voxels.shape
+    coords_p, n = _pad_points(coords.astype(jnp.float32), TILE_N)
+    n_pad = coords_p.shape[1]
+    ct = jnp.swapaxes(coords_p, 1, 2)            # (B, 3, Npad)
+    vox = voxels.reshape(b, d * h * w, c).astype(jnp.float32)
+    out = pl.pallas_call(
+        functools.partial(_fwd_kernel, d=d, h=h, w=w),
+        grid=(b, n_pad // TILE_N),
+        in_specs=[
+            pl.BlockSpec((1, 3, TILE_N), lambda i, j: (i, 0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d * h * w, c), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, TILE_N, c), lambda i, j: (i, j, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, n_pad, c), jnp.float32),
+        interpret=interpret,
+    )(ct, vox)
+    return out[:, :n].astype(voxels.dtype)
+
+
+def _backward_vox(coords, g, vox_shape, *, interpret=False):
+    b, d, h, w, c = vox_shape
+    coords_p, n = _pad_points(coords.astype(jnp.float32), TILE_N)
+    n_pad = coords_p.shape[1]
+    ct = jnp.swapaxes(coords_p, 1, 2)
+    g_p = jnp.zeros((b, n_pad, c), jnp.float32).at[:, :n].set(
+        g.astype(jnp.float32))
+    n_tiles = n_pad // TILE_N
+    dvox = pl.pallas_call(
+        functools.partial(_bwd_kernel, d=d, h=h, w=w, n_tiles=n_tiles),
+        grid=(b, n_tiles),
+        in_specs=[
+            pl.BlockSpec((1, 3, TILE_N), lambda i, j: (i, 0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TILE_N, c), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, d * h * w, c), lambda i, j: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, d * h * w, c), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((d * h * w, c), jnp.float32)],
+        interpret=interpret,
+    )(ct, g_p)
+    return dvox.reshape(vox_shape)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def trilinear_resample_mxu(voxels, coords, interpret=False):
+    """MXU trilinear resample. voxels (B,D,H,W,C), coords (B,N,3) in voxel
+    units (x→W, y→H, z→D), border-clamped. Returns (B,N,C)."""
+    return _forward(voxels, coords, interpret=interpret)
+
+
+def _fwd_rule(voxels, coords, interpret):
+    # residuals must be JAX types; keeping the (already-live) voxels buffer
+    # costs nothing and carries shape+dtype for the backward pass
+    return _forward(voxels, coords, interpret=interpret), \
+        (coords, jax.lax.stop_gradient(voxels))
+
+
+def _bwd_rule(interpret, res, g):
+    coords, voxels = res
+    dvox = _backward_vox(coords, g, voxels.shape, interpret=interpret)
+    return dvox.astype(voxels.dtype), jnp.zeros_like(coords)
+
+
+trilinear_resample_mxu.defvjp(_fwd_rule, _bwd_rule)

@@ -75,9 +75,9 @@ class Trainer:
         # figures
         self.figures = self._build_figures()
 
-        # checkpointing
-        ckpt_dir = cfg.train.get("ckpt_dir") or (self.logging_dir / "ckpts")
-        self.ckpt = CheckpointManager(ckpt_dir,
+        # checkpointing: new checkpoints land in THIS run's dir;
+        # cfg.train.ckpt_dir is only scanned for resume (run_network.py:19-23)
+        self.ckpt = CheckpointManager(self.logging_dir / "ckpts",
                                       save_ckpts=bool(cfg.get("save_ckpts",
                                                               True)))
 

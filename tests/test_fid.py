@@ -1,0 +1,88 @@
+"""FID/KID pipeline tests: Newton–Schulz vs scipy sqrtm, KID/FID identities,
+end-to-end metrics compute (SURVEY §4, §7.3 item 5)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from lightning_gan_zoo_tpu.eval import fid as F
+
+
+def _random_spd(rng, d, scale=1.0):
+    a = rng.normal(size=(d, d)).astype(np.float32)
+    return (a @ a.T / d + np.eye(d) * 0.1) * scale
+
+
+def test_newton_schulz_matches_scipy():
+    rng = np.random.default_rng(0)
+    d = 64
+    mu1 = rng.normal(size=d).astype(np.float32)
+    mu2 = rng.normal(size=d).astype(np.float32)
+    s1 = _random_spd(rng, d)
+    s2 = _random_spd(rng, d)
+    got = float(F.frechet_distance(jnp.asarray(mu1), jnp.asarray(s1),
+                                   jnp.asarray(mu2), jnp.asarray(s2)))
+    expect = float(F.frechet_distance_np(mu1, s1, mu2, s2))
+    assert abs(got - expect) / max(abs(expect), 1.0) < 5e-3
+
+
+def test_frechet_identity_is_zero():
+    rng = np.random.default_rng(1)
+    d = 32
+    mu = jnp.asarray(rng.normal(size=d), jnp.float32)
+    s = jnp.asarray(_random_spd(rng, d))
+    assert abs(float(F.frechet_distance(mu, s, mu, s))) < 1e-1
+
+
+def test_stats_match_numpy_cov():
+    rng = np.random.default_rng(2)
+    acts = rng.normal(size=(200, 16)).astype(np.float32)
+    mu, sigma = F.stats_from_activations(jnp.asarray(acts))
+    np.testing.assert_allclose(np.asarray(mu), acts.mean(0), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(sigma),
+                               np.cov(acts, rowvar=False), atol=1e-4)
+
+
+def test_kid_identical_sets_near_zero():
+    rng = np.random.default_rng(3)
+    acts = jnp.asarray(rng.normal(size=(256, 32)), jnp.float32)
+    kid = float(F.kid_from_activations(jax.random.PRNGKey(0), acts, acts,
+                                       n_subsets=50, subset_size=128))
+    # unbiased MMD on same-distribution subsets: zero mean, finite variance
+    assert abs(kid) < 0.15
+
+
+def test_kid_separated_sets_positive():
+    rng = np.random.default_rng(4)
+    a = jnp.asarray(rng.normal(size=(256, 32)), jnp.float32)
+    b = jnp.asarray(rng.normal(size=(256, 32)) + 2.0, jnp.float32)
+    kid = float(F.kid_from_activations(jax.random.PRNGKey(0), a, b,
+                                       n_subsets=10, subset_size=64))
+    assert kid > 0.5
+
+
+@pytest.mark.slow
+def test_inception_metrics_end_to_end(tmp_path):
+    """Full pipeline with a random-init Inception on the synthetic dataset —
+    validates plumbing (greyscale handling, batching, caching), not FID
+    values."""
+    from tests.conftest import CONF_DIR
+    from lightning_gan_zoo_tpu.config import compose
+    from lightning_gan_zoo_tpu.config.registry import instantiate
+    from lightning_gan_zoo_tpu.eval.metrics_callback import InceptionMetrics
+
+    cfg = compose(CONF_DIR, [
+        "+expt=dc_gan", "dataset=synthetic", "train.img_size=16",
+        "train.batch_size=4", "train.features_disc=8",
+        "train.features_gen=8", "model.noise_dim=16", "precision=32",
+        "val.fid_n_samples=8", f"dataset.root={tmp_path}", "dataset.n=16"])
+    task = instantiate(cfg.model.lm, cfg, str(tmp_path))
+    g_vars, _ = task.init(jax.random.PRNGKey(0))
+    metrics = InceptionMetrics(cfg, task, batch_size=4)
+    g_state = {k: v for k, v in g_vars.items() if k != "params"}
+    out = metrics.compute(dict(g_vars)["params"], g_state,
+                          jax.random.PRNGKey(1))
+    assert np.isfinite(out["fid"]) and out["fid"] >= 0
+    assert np.isfinite(out["kid"])
+    # real-side cache written next to the dataset root
+    assert (tmp_path / "inception_cache.npz").exists()
