@@ -65,12 +65,32 @@ class ImageFolder(BaseDataset):
         return len(self.samples)
 
     def load(self, indices):
+        paths = [self.samples[int(i)][0] for i in indices]
+        labels = np.asarray([self.samples[int(i)][1] for i in indices],
+                            np.int32)
+        imgs = self._load_native(paths)
+        if imgs is None:
+            imgs = self._load_pil(paths)
+        return {"image": imgs, "label": labels}
+
+    def _load_native(self, paths):
+        """C++ fastimage path: batched multithreaded decode+resize+normalise
+        (native/fastimage.cpp); returns None when unavailable."""
+        from . import native_loader
+        if not native_loader.available():
+            return None
+        try:
+            return native_loader.load_batch(paths, self.img_size,
+                                            self.n_channels, self.mean,
+                                            self.std)
+        except IOError:
+            return self._load_pil(paths)  # odd formats → PIL fallback
+
+    def _load_pil(self, paths):
         from PIL import Image
         s = self.img_size
-        imgs = np.empty((len(indices), s, s, self.n_channels), np.float32)
-        labels = np.empty((len(indices),), np.int32)
-        for j, i in enumerate(indices):
-            path, label = self.samples[int(i)]
+        imgs = np.empty((len(paths), s, s, self.n_channels), np.float32)
+        for j, path in enumerate(paths):
             with Image.open(path) as im:
                 im = im.convert("RGB" if self.n_channels == 3 else "L")
                 im = im.resize((s, s), Image.BILINEAR)
@@ -78,9 +98,7 @@ class ImageFolder(BaseDataset):
             if arr.ndim == 2:
                 arr = arr[..., None]
             imgs[j] = arr
-            labels[j] = label
-        return {"image": _normalise(imgs, self.mean, self.std),
-                "label": labels}
+        return _normalise(imgs, self.mean, self.std)
 
 
 class MNIST(BaseDataset):

@@ -37,20 +37,47 @@ TILE_N = 256
 def _axis_weights(p, size):
     """Hat-function weights (TILE, size) for border-clamped coordinates."""
     pc = jnp.clip(p, 0.0, size - 1.0)
-    k = jax.lax.broadcasted_iota(jnp.float32, (p.shape[0], size), 1)
+    # Mosaic only permits integer iota; cast to float after
+    k = jax.lax.broadcasted_iota(jnp.int32, (p.shape[0], size), 1
+                                 ).astype(jnp.float32)
     return jnp.maximum(0.0, 1.0 - jnp.abs(pc[:, None] - k))
 
 
-def _fwd_kernel(coords_ref, vox_ref, out_ref, *, d, h, w):
-    # coords_ref: (1, 3, TILE_N); vox_ref: (1, D*H*W, C); out: (1, TILE_N, C)
+def _expanders(d, h, w):
+    """Constant one-hot expansion matrices (axis-size, D·H·W) mapping
+    per-axis weights onto the flat voxel index v = (z·H + y)·W + x. Mosaic
+    only handles ≤2-D vector shapes comfortably, so the tensor-product
+    weight build becomes three tiny matmuls + elementwise products."""
+    n = d * h * w
+    col_z = jax.lax.broadcasted_iota(jnp.int32, (d, n), 1) // (h * w)
+    row_z = jax.lax.broadcasted_iota(jnp.int32, (d, n), 0)
+    col_y = (jax.lax.broadcasted_iota(jnp.int32, (h, n), 1) // w) % h
+    row_y = jax.lax.broadcasted_iota(jnp.int32, (h, n), 0)
+    col_x = jax.lax.broadcasted_iota(jnp.int32, (w, n), 1) % w
+    row_x = jax.lax.broadcasted_iota(jnp.int32, (w, n), 0)
+    ez = (col_z == row_z).astype(jnp.float32)
+    ey = (col_y == row_y).astype(jnp.float32)
+    ex = (col_x == row_x).astype(jnp.float32)
+    return ez, ey, ex
+
+
+def _build_weights(coords_ref, d, h, w):
     x = coords_ref[0, 0, :]
     y = coords_ref[0, 1, :]
     z = coords_ref[0, 2, :]
     wx = _axis_weights(x, w)                      # (T, W)
     wy = _axis_weights(y, h)                      # (T, H)
     wz = _axis_weights(z, d)                      # (T, D)
-    wgt = (wz[:, :, None, None] * wy[:, None, :, None]
-           * wx[:, None, None, :]).reshape(x.shape[0], d * h * w)
+    ez, ey, ex = _expanders(d, h, w)
+    wgt = (jnp.dot(wz, ez, preferred_element_type=jnp.float32)
+           * jnp.dot(wy, ey, preferred_element_type=jnp.float32)
+           * jnp.dot(wx, ex, preferred_element_type=jnp.float32))
+    return wgt                                    # (T, D·H·W)
+
+
+def _fwd_kernel(coords_ref, vox_ref, out_ref, *, d, h, w):
+    # coords_ref: (1, 3, TILE_N); vox_ref: (1, D*H*W, C); out: (1, TILE_N, C)
+    wgt = _build_weights(coords_ref, d, h, w)
     out_ref[0] = jnp.dot(wgt, vox_ref[0],
                          preferred_element_type=jnp.float32)
 
@@ -58,15 +85,10 @@ def _fwd_kernel(coords_ref, vox_ref, out_ref, *, d, h, w):
 def _bwd_kernel(coords_ref, g_ref, dvox_ref, acc, *, d, h, w, n_tiles):
     # grid: (B, n_tiles); accumulate wᵀ @ g over point tiles into scratch
     t = pl.program_id(1)
-    x = coords_ref[0, 0, :]
-    y = coords_ref[0, 1, :]
-    z = coords_ref[0, 2, :]
-    wx = _axis_weights(x, w)
-    wy = _axis_weights(y, h)
-    wz = _axis_weights(z, d)
-    wgt = (wz[:, :, None, None] * wy[:, None, :, None]
-           * wx[:, None, None, :]).reshape(x.shape[0], d * h * w)
-    contrib = jnp.dot(wgt.T, g_ref[0], preferred_element_type=jnp.float32)
+    wgt = _build_weights(coords_ref, d, h, w)
+    contrib = jax.lax.dot_general(
+        wgt, g_ref[0], dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
 
     @pl.when(t == 0)
     def _():

@@ -313,10 +313,27 @@ class Trainer:
                                 fid=fid)
 
 
+def _print_shapes(task):
+    """debug.verbose_shape: per-layer shape table (the VerboseShapeExecution
+    hook equivalent, reference core/utils/utils.py:13-27)."""
+    import jax
+    from flax import linen as nn
+    z = task.sample_z(jax.random.PRNGKey(0), 2)
+    kw = {}
+    if hasattr(task, "training_resolution"):
+        kw["sample_res"] = task.training_resolution
+    print(nn.tabulate(task.generator,
+                      {"params": jax.random.PRNGKey(0),
+                       **task.model_rngs(jax.random.PRNGKey(1))},
+                      depth=2)(z, train=False, **kw))
+
+
 def train(cfg: Config):
-    if bool(cfg.debug.get("verbose_shape", False)):
-        print("[debug] verbose_shape: shapes print at module init "
-              "(flax tabulate available via tasks)")
     trainer = Trainer(cfg)
+    if bool(cfg.debug.get("verbose_shape", False)):
+        try:
+            _print_shapes(trainer.task)
+        except Exception as e:
+            print(f"[debug] verbose_shape failed: {e}")
     trainer.fit()
     return trainer

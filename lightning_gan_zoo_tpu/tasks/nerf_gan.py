@@ -159,6 +159,13 @@ class ANIGAN(PIGAN):
     """Adds mesh-guided deformation + silhouette supervision
     (lightning_module.py:324-369)."""
 
+    def deformation_parameters(self, g_params, g_state, shape_analysis):
+        """Figure-facing helper (reference generator.deformer access at
+        figures/types.py:428-430)."""
+        return self.generator.apply({"params": g_params, **g_state},
+                                    shape_analysis,
+                                    method="calculate_deformation")
+
     def _prep(self, batch, g_params, g_state, rng):
         from ..nerf.cameras import convert_cam_pred
         sa = batch["shape_analysis"]

@@ -1,0 +1,135 @@
+"""Figure framework tests: FID-gated drawing, grid assembly, rasterizer,
+and ANIGAN figures end-to-end on synthetic shape analyses."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from tests.conftest import CONF_DIR
+from lightning_gan_zoo_tpu.config import compose
+from lightning_gan_zoo_tpu.config.node import Config
+from lightning_gan_zoo_tpu.config.registry import instantiate
+from lightning_gan_zoo_tpu.figures.image_io import make_grid, unnormalise
+from lightning_gan_zoo_tpu.figures.types import FigureContext, SampleGrid
+
+
+def test_make_grid_layout():
+    imgs = np.zeros((4, 8, 8, 3), np.float32)
+    imgs[0] = 1.0
+    grid = make_grid(imgs, ncol=2, padding=1)
+    assert grid.shape == (19, 19, 3)
+    assert grid[1, 1, 0] == 1.0          # first tile top-left
+    assert grid[1, 10, 0] == 0.0         # second tile
+
+
+def test_unnormalise_clamps():
+    x = np.array([[-3.0, 0.0, 3.0]])
+    out = unnormalise(x, 0.5, 0.5)
+    assert out.min() >= 0.0 and out.max() <= 1.0
+
+
+def _dcgan_ctx(tmp_path):
+    cfg = compose(CONF_DIR, ["+expt=dc_gan", "dataset=synthetic",
+                             "train.img_size=16", "train.features_gen=8",
+                             "train.features_disc=8", "model.noise_dim=16",
+                             "precision=32"])
+    task = instantiate(cfg.model.lm, cfg, str(tmp_path))
+    g_vars, _ = task.init(jax.random.PRNGKey(0))
+    return cfg, FigureContext(
+        task=task, g_params=dict(g_vars)["params"],
+        g_state={k: v for k, v in g_vars.items() if k != "params"},
+        cfg=cfg, epoch=0, rng=jax.random.PRNGKey(1))
+
+
+def test_fid_gating(tmp_path):
+    cfg, ctx = _dcgan_ctx(tmp_path)
+    fig = SampleGrid(cfg.figure_details, str(tmp_path), monitor="fid",
+                     ncol=2)
+    out = tmp_path / "figures" / "SampleGrid.png"
+    fig.on_validation_end(ctx, {"fid": 10.0})
+    assert out.exists()
+    mtime = out.stat().st_mtime_ns
+    fig.on_validation_end(ctx, {"fid": 20.0})   # worse → no redraw
+    assert out.stat().st_mtime_ns == mtime
+    fig.on_validation_end(ctx, {"fid": 5.0})    # better → redraw
+    assert out.stat().st_mtime_ns > mtime
+
+
+def test_save_all_epoch_subdirs(tmp_path):
+    cfg, ctx = _dcgan_ctx(tmp_path)
+    details = cfg.figure_details.copy()
+    details["save_all"] = True
+    fig = SampleGrid(details, str(tmp_path), ncol=2)
+    fig.on_validation_end(ctx, {})
+    assert (tmp_path / "figures" / "epoch_0" / "SampleGrid.png").exists()
+
+
+def test_rasterizer_renders_triangle():
+    from lightning_gan_zoo_tpu.nerf.cameras import look_at_view_transform
+    from lightning_gan_zoo_tpu.nerf.rasterize import render_mesh_lambert
+    verts = jnp.asarray([[[-0.5, -0.5, 0.0], [0.5, -0.5, 0.0],
+                          [0.0, 0.6, 0.0]]])
+    faces = jnp.asarray([[0, 1, 2]], jnp.int32)
+    # oblique view → Lambert shade < 1 so the face is distinguishable from
+    # the white background
+    cams = look_at_view_transform(2.0, 30.0, 40.0)
+    img = np.asarray(render_mesh_lambert(verts, faces, cams, 32))
+    assert img.shape == (1, 32, 32, 3)
+    corner = img[0, 0, 0, 0]
+    assert corner == 1.0                 # background white
+    covered = img[0, :, :, 0] < 0.999
+    assert covered.sum() > 20            # some lit, shaded pixels
+    assert img[0, :, :, 0].min() > 0.2   # ambient floor
+
+
+def test_anigan_figures_draw(tmp_path):
+    """FullShapeAnalysis + AniganTurntable end-to-end with synthetic npz
+    shape analyses on disk."""
+    from PIL import Image
+    rng = np.random.default_rng(0)
+    img_root = tmp_path / "imgs" / "cls"
+    img_root.mkdir(parents=True)
+    ana_root = tmp_path / "analysis"
+    ana_root.mkdir()
+    for i in range(4):
+        arr = rng.uniform(0, 255, (24, 24, 3)).astype(np.uint8)
+        Image.fromarray(arr).save(img_root / f"im{i}.png")
+        np.savez(ana_root / f"im{i}.npz",
+                 cam_pred=np.array([1.0, 0, 0, 1, 0, 0, 0], np.float32),
+                 mean_shape=rng.normal(size=(40, 3)).astype(np.float32),
+                 verts=rng.normal(size=(40, 3)).astype(np.float32),
+                 kp_verts=rng.normal(size=(15, 3)).astype(np.float32),
+                 mask_pred=rng.uniform(size=(24, 24)).astype(np.float32),
+                 faces=rng.integers(0, 40, size=(30, 3)).astype(np.float32))
+
+    cfg = compose(CONF_DIR, [
+        "+expt=anigan", "machine=local", "model.noise_dim=16",
+        "nerf.siren_dim_hidden=32", "nerf.siren_num_layers=2",
+        "nerf.n_pts_per_ray=4", "nerf.n_pts_per_ray_fine=4",
+        "train.features_disc=8", "train.img_size=16", "precision=32",
+        "resolution_annealing.resolutions=[8,16,16]",
+        "variable_batch_size.batch_sizes=[2,2,2]",
+        f"filepaths.birds_root={tmp_path}/imgs",
+        f"filepaths.birds_analysis_root={ana_root}",
+        "dataset.train.root=" + str(tmp_path / "imgs"),
+        "dataset.val.root=" + str(tmp_path / "imgs")])
+    task = instantiate(cfg.model.lm, cfg, str(tmp_path))
+    g_vars, _ = task.init(jax.random.PRNGKey(0))
+    ctx = FigureContext(
+        task=task, g_params=dict(g_vars)["params"],
+        g_state={k: v for k, v in g_vars.items() if k != "params"},
+        cfg=cfg, epoch=0, rng=jax.random.PRNGKey(1))
+
+    from lightning_gan_zoo_tpu.figures.anigan_figures import (
+        AniganTurntable, FullShapeAnalysis)
+    fsa = FullShapeAnalysis(cfg.figure_details, str(tmp_path),
+                            val_dataset=cfg.dataset.val, n_objs=2)
+    fsa.draw_and_save(ctx)
+    assert (tmp_path / "figures" / "epoch_0"
+            / "FullShapeAnalysis.png").exists()  # anigan sets save_all
+
+    tt = AniganTurntable(cfg.figure_details, str(tmp_path),
+                         val_dataset=cfg.dataset.val, n_frames=3, n_objs=2)
+    tt.draw_and_save(ctx)
+    assert (tmp_path / "figures" / "epoch_0"
+            / "AniganTurntable.gif").exists()
