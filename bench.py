@@ -45,26 +45,34 @@ def main():
     from lightning_gan_zoo_tpu.runtime.steps import (build_superstep,
                                                      microbatch_count)
 
-    batch = int(os.environ.get("BENCH_BATCH", 128))
-    img = int(os.environ.get("BENCH_IMG", 64))
+    expt = os.environ.get("BENCH_EXPT", "dc_gan")
     steps = int(os.environ.get("BENCH_STEPS", 30))
-
-    cfg = compose(REPO / "conf", [
-        "+expt=dc_gan", "dataset=synthetic", "calc_fid=False",
-        "save_ckpts=False", f"train.batch_size={batch}",
-        f"train.img_size={img}"])
+    overrides = [f"+expt={expt}", "dataset=synthetic", "calc_fid=False",
+                 "save_ckpts=False"]
+    if expt in ("pigan", "anigan"):
+        overrides += ["machine=local"]
+    cfg = compose(REPO / "conf", overrides)
+    batch = int(os.environ.get("BENCH_BATCH",
+                               cfg.select("variable_batch_size.batch_sizes.0")
+                               or cfg.train.batch_size))
+    img = int(os.environ.get("BENCH_IMG", cfg.train.img_size))
+    cfg = compose(REPO / "conf", overrides + [
+        f"train.batch_size={batch}", f"train.img_size={img}"])
     task = instantiate(cfg.model.lm, cfg, "/tmp/bench")
 
+    df = int(cfg.optimisation.disc_freq)
+    gf = int(cfg.optimisation.gen_freq)
     n_chips = len(jax.devices())
     mesh = pmesh.make_mesh(n_chips)
     d_tx, g_tx = task.configure_optimizers(steps_per_epoch=100)
     g_vars, d_vars = task.init(jax.random.PRNGKey(0))
     state = pmesh.put_replicated(
-        create_train_state(g_vars, d_vars, g_tx, d_tx), mesh)
+        create_train_state(g_vars, d_vars, g_tx, d_tx,
+                           extra=task.initial_extra()), mesh)
     step = pmesh.shard_superstep(
-        build_superstep(task, g_tx, d_tx, 1, 1), mesh, donate_state=True)
+        build_superstep(task, g_tx, d_tx, df, gf), mesh, donate_state=True)
 
-    n_micro = microbatch_count(1, 1)
+    n_micro = microbatch_count(df, gf)
     batches = {
         "image": jnp.asarray(np.random.default_rng(0).normal(
             size=(n_micro, batch, img, img, 3)).astype(np.float32) * 0.5),
@@ -86,8 +94,9 @@ def main():
     images_per_step = batch * n_micro  # images consumed per superstep
     ips = images_per_step * steps / dt
     ips_per_chip = ips / n_chips
+    name = ("dcgan_celeba" if expt == "dc_gan" else expt)
     print(json.dumps({
-        "metric": f"dcgan_celeba{img}_train_images_per_sec_per_chip",
+        "metric": f"{name}{img}_train_images_per_sec_per_chip",
         "value": round(ips_per_chip, 2),
         "unit": "images/sec/chip",
         "vs_baseline": round(ips_per_chip / REFERENCE_IMAGES_PER_SEC, 3),

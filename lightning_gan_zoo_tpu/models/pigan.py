@@ -74,6 +74,8 @@ class Generator(nn.Module):
             single_shape=bool(nc["single_shape"]),
             deformer=self.deformer,
             siren_input_channels=self.siren_input_channels,
+            remat=bool(nc.get("remat", False) if hasattr(nc, "get")
+                       else False),
             dtype=self.dtype,
         )
 

@@ -69,11 +69,20 @@ class RadianceFieldRenderer(nn.Module):
     density_noise_std: float = 0.0
     deformer: Optional[nn.Module] = None
     siren_input_channels: int = 3
+    #: rematerialise the radiance field in backward — the TPU-native
+    #: replacement for the reference's ray chunking as OOM control
+    #: (SURVEY §2.7: trade FLOPs for HBM instead of serialising)
+    remat: bool = False
     dtype: Any = jnp.float32
 
     def setup(self):
+        if self.remat:
+            single_cls = nn.remat(SirenSingleShape)
+            field_cls = nn.remat(SirenRadianceField)
+        else:
+            single_cls, field_cls = SirenSingleShape, SirenRadianceField
         if self.single_shape:
-            self.rad_field = SirenSingleShape(
+            self.rad_field = single_cls(
                 latent_z_dim=self.latent_z_dim,
                 num_layers=self.siren_num_layers,
                 dim_hidden=self.siren_dim_hidden,
@@ -81,7 +90,7 @@ class RadianceFieldRenderer(nn.Module):
                 input_channels=self.siren_input_channels,
                 dtype=self.dtype)
         else:
-            self.rad_field = SirenRadianceField(
+            self.rad_field = field_cls(
                 latent_z_dim=self.latent_z_dim,
                 num_layers=self.siren_num_layers,
                 dim_hidden=self.siren_dim_hidden,

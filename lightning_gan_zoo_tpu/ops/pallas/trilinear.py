@@ -78,7 +78,11 @@ def _build_weights(coords_ref, d, h, w):
 def _fwd_kernel(coords_ref, vox_ref, out_ref, *, d, h, w):
     # coords_ref: (1, 3, TILE_N); vox_ref: (1, D*H*W, C); out: (1, TILE_N, C)
     wgt = _build_weights(coords_ref, d, h, w)
-    out_ref[0] = jnp.dot(wgt, vox_ref[0],
+    # bf16 operands, f32 accumulation: the v5e MXU decomposes f32 matmuls
+    # into multiple bf16 passes anyway — casting explicitly saves the extra
+    # passes at the same effective precision for GAN feature volumes
+    out_ref[0] = jnp.dot(wgt.astype(jnp.bfloat16),
+                         vox_ref[0].astype(jnp.bfloat16),
                          preferred_element_type=jnp.float32)
 
 

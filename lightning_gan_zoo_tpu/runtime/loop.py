@@ -63,7 +63,10 @@ class Trainer:
         self.version = _resolve_version(cfg, out_root)
         self.logging_dir = out_root / cfg.name / self.version
         self.logging_dir.mkdir(parents=True, exist_ok=True)
-        self.logger = ExperimentLogger(self.logging_dir)
+        # artifact/metric writes only on process 0 (rank_zero_only
+        # equivalent, reference figures/types.py:61)
+        self.logger = ExperimentLogger(self.logging_dir,
+                                       enable_tb=pmesh.is_main_process())
 
         # task (the LightningModule stand-in)
         self.task = instantiate(cfg.model.lm, cfg, str(self.logging_dir))
@@ -137,9 +140,12 @@ class Trainer:
         factor = int(node.get("accumulation_factor", 1))
         return factor if self.epoch >= start else 1
 
-    def _update_epoch_schedules(self):
+    def _update_epoch_schedules(self, replay: bool = False):
         """Variable batch size + resolution annealing at epoch boundaries
-        (core/lightning_module.py:272-283, core/callback_train_res.py)."""
+        (core/lightning_module.py:272-283, core/callback_train_res.py).
+        ``replay=True`` fast-forwards static knobs after a resume WITHOUT
+        touching the restored traced state (fade-in alpha lives in the
+        checkpoint)."""
         cfg = self.cfg
         if "variable_batch_size" in cfg:
             ups = list(cfg.variable_batch_size.update_epochs)
@@ -158,7 +164,7 @@ class Trainer:
                 res = list(ra.resolutions)
                 if idx < len(res):
                     self.task.increase_resolution(int(res[idx]))
-                    if self.state is not None:
+                    if self.state is not None and not replay:
                         self.state = self.state.replace(
                             extra=self.task.reset_alpha(self.state.extra))
                     print(f"Training resolution → {res[idx]}")
@@ -202,10 +208,11 @@ class Trainer:
                                             jax.device_get(state))
             self.epoch = int(meta.get("epoch", 0)) + 1
             self.best_fid = float(meta.get("fid") or float("inf"))
-            # fast-forward epoch-scheduled knobs
+            # fast-forward epoch-scheduled knobs (resolution, batch size)
+            # without resetting the restored progressive-growing alpha
             for e in range(self.epoch + 1):
                 saved_epoch, self.epoch = self.epoch, e
-                self._update_epoch_schedules()
+                self._update_epoch_schedules(replay=True)
                 self.epoch = saved_epoch
         self.state = pmesh.put_replicated(state, self.mesh)
 

@@ -29,13 +29,11 @@ def hologan_schedule(total_epochs: int, steps_per_epoch: int) -> Schedule:
     decay to zero (core/utils/hologan.py:3-9). The reference steps it per
     epoch; here the epoch index derives from the optimizer step count."""
     def fn(step):
+        import jax.numpy as jnp
         epoch = step // max(steps_per_epoch, 1)
         half = total_epochs / 2.0
-        if hasattr(epoch, "astype"):
-            import jax.numpy as jnp
-            return jnp.where(epoch <= half, 1.0,
-                             jnp.maximum(1.0 - (epoch - half) / half, 0.0))
-        return 1.0 if epoch <= half else max(1.0 - (epoch - half) / half, 0.0)
+        return jnp.where(epoch <= half, 1.0,
+                         jnp.maximum(1.0 - (epoch - half) / half, 0.0))
     return fn
 
 
