@@ -51,6 +51,12 @@ def main(argv=None) -> int:
                       os.environ["JAX_COMPILATION_CACHE_DIR"])
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
+    # Multi-host (multi-slice / DCN) training: set LGZT_MULTIHOST=1 on every
+    # host (plus the usual JAX coordinator env). The input pipeline stripes
+    # per process and artifact writes are process-0 gated.
+    if os.environ.get("LGZT_MULTIHOST") == "1":
+        jax.distributed.initialize()
+
     from lightning_gan_zoo_tpu.config import compose, ComposeError
     try:
         cfg = compose(CONF_DIR, overrides)
