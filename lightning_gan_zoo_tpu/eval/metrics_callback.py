@@ -39,6 +39,21 @@ class InceptionMetrics:
         self.model, self.variables = build_inception(weights)
         self._acts_fn = jax.jit(
             lambda imgs: self.model.apply(self.variables, imgs))
+        # fused generate→[0,1]→inception pool3, entirely on device: only the
+        # (batch, 2048) activations ever cross the host boundary (the
+        # reference round-trips every sample through PNG files on disk,
+        # callback_inception_metrics.py:187-205)
+        mean = float(cfg.train.data_mean)
+        std = float(cfg.train.data_std)
+
+        def _fused(g_params, g_state, z, rng):
+            fake = self.task.generate(g_params, g_state, z, rng=rng)
+            img01 = jnp.clip(fake[..., :3] * std + mean, 0.0, 1.0)
+            if img01.shape[-1] == 1:
+                img01 = jnp.repeat(img01, 3, axis=-1)
+            return self.model.apply(self.variables, img01)
+
+        self._gen_acts_fn = jax.jit(_fused)
         self._real_stats = None
         self._real_acts = None
 
@@ -59,20 +74,18 @@ class InceptionMetrics:
             outs.append(np.asarray(self._acts_fn(chunk)))
         return np.concatenate(outs, axis=0)[:n]
 
-    def _generator_images(self, g_params, g_state, rng) -> np.ndarray:
-        """Generate n_samples fakes in fixed batches (reference pre-splits z
-        into batches of 50, :166-168) and map to [0,1]."""
-        mean = float(self.cfg.train.data_mean)
-        std = float(self.cfg.train.data_std)
+    def _generator_activations(self, g_params, g_state, rng) -> np.ndarray:
+        """n_samples fake activations in fixed batches (reference pre-splits
+        z into batches of 50, :166-168), fused generation+inception on
+        device."""
         outs = []
         n_batches = -(-self.n_samples // self.batch_size)
         for i in range(n_batches):
             r = jax.random.fold_in(rng, i)
             z = self.task.sample_z(r, self.batch_size)
-            fake = self.task.generate(g_params, g_state, z,
-                                      rng=jax.random.fold_in(r, 1))
-            fake = np.asarray(fake)[..., :3]
-            outs.append(np.clip(fake * std + mean, 0.0, 1.0))
+            acts = self._gen_acts_fn(g_params, g_state, z,
+                                     jax.random.fold_in(r, 1))
+            outs.append(np.asarray(acts))
         return np.concatenate(outs, axis=0)[:self.n_samples]
 
     # -- real side --------------------------------------------------------------
@@ -119,8 +132,7 @@ class InceptionMetrics:
 
     # -- public -------------------------------------------------------------------
     def compute(self, g_params, g_state, rng) -> Dict[str, float]:
-        fake_imgs = self._generator_images(g_params, g_state, rng)
-        fake_acts = self._activations_from_images(fake_imgs)
+        fake_acts = self._generator_activations(g_params, g_state, rng)
         real_acts = self._real_activations()
 
         mu_f, sig_f = fid_ops.stats_from_activations(jnp.asarray(fake_acts))
