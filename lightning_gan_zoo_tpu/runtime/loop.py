@@ -232,30 +232,47 @@ class Trainer:
             step_fn = self._get_step_fn()
             epoch_metrics: Dict[str, list] = {}
             t_epoch = time.perf_counter()
-            for batch in loader.epoch(self.epoch):
-                rng = jax.random.fold_in(self.root_rng, int(self.state.step))
-                self.timer.start()
+            bsharding = pmesh.batch_sharding(self.mesh)
+            step_counter = int(self.state.step)
+            micro_per_super = loader.n_micro
+
+            def staged(it):
+                """One-batch lookahead: device_put the next batch while the
+                current superstep runs (H2D overlaps compute)."""
+                prev = None
+                for b in it:
+                    b = jax.device_put(b, bsharding)
+                    if prev is not None:
+                        yield prev
+                    prev = b
+                if prev is not None:
+                    yield prev
+
+            n_steps = 0
+            for batch in staged(loader.epoch(self.epoch)):
+                rng = jax.random.fold_in(self.root_rng, step_counter)
+                # no per-step device sync: XLA pipelines supersteps; metrics
+                # stay on device until the epoch ends (one transfer)
                 self.state, metrics = step_fn(self.state, batch, rng)
-                jax.block_until_ready(metrics)
-                self.timer.stop()
+                step_counter += micro_per_super
+                n_steps += 1
                 self.trace.tick()
                 for k, v in metrics.items():
-                    epoch_metrics.setdefault(f"train/{k}", []).append(
-                        float(v))
-                global_step = int(self.state.step)
+                    epoch_metrics.setdefault(f"train/{k}", []).append(v)
                 if fast_dev_run:
                     break
 
-            means = {k: float(np.mean(v)) for k, v in epoch_metrics.items()}
-            perf = self.timer.summary(
-                images_per_step=self.current_batch_size * loader.n_micro)
-            means["perf/images_per_sec"] = perf["images_per_sec"]
-            self.logger.log_scalars(means, global_step)
+            global_step = int(self.state.step)  # fences the epoch's chain
             dt = time.perf_counter() - t_epoch
+            means = {k: float(np.mean(jax.device_get(v)))
+                     for k, v in epoch_metrics.items()}
+            means["perf/images_per_sec"] = (
+                self.current_batch_size * loader.n_micro * n_steps
+                / max(dt, 1e-9))
+            self.logger.log_scalars(means, global_step)
             loss_str = " ".join(f"{k.split('/')[-1]}={v:.4f}"
                                 for k, v in means.items())
             print(f"epoch {self.epoch} [{dt:.1f}s] {loss_str}")
-            self.timer.reset()
 
             if (self.epoch % int(self.cfg.val.get("every_n_epochs", 1)) == 0
                     or fast_dev_run):
