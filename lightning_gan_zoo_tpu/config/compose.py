@@ -24,7 +24,7 @@ from typing import Any, Sequence
 
 import yaml
 
-from .node import Config, MISSING, _deep_merge, resolve_interpolations
+from .node import Config, _deep_merge, resolve_interpolations
 
 
 class ComposeError(Exception):

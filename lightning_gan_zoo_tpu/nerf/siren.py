@@ -38,10 +38,16 @@ class Siren(nn.Module):
         dim_in = x.shape[-1]
         w_std = (1.0 / dim_in) if self.is_first else \
             (math.sqrt(self.c / dim_in) / self.w0)
+        # bf16 numerics: the sine ARGUMENT must be f32 — with w0_initial=30
+        # the first layer's pre-activation reaches O(10²) where bf16's 8-bit
+        # mantissa gives ~radian-level error. The first layer therefore
+        # computes fully in f32; later layers may matmul in the policy dtype
+        # but always take the sine in f32.
+        layer_dtype = jnp.float32 if self.is_first else self.dtype
         out = nn.Dense(self.dim_out, use_bias=self.use_bias,
                        kernel_init=siren_uniform(w_std),
                        bias_init=siren_uniform(w_std),
-                       dtype=self.dtype)(x.astype(self.dtype))
+                       dtype=layer_dtype)(x.astype(layer_dtype))
         # FiLM: γ/β are (B, dim_out); broadcast over ray/point dims
         if gamma is not None:
             g = gamma.reshape(gamma.shape[:1] + (1,) * (out.ndim - 2)
@@ -52,7 +58,8 @@ class Siren(nn.Module):
                              + beta.shape[-1:])
             out = out + b.astype(out.dtype)
         if self.activation is None:
-            return jnp.sin(self.w0 * out)
+            return jnp.sin(self.w0 * out.astype(jnp.float32)
+                           ).astype(self.dtype)
         return self.activation(out)
 
 

@@ -15,7 +15,6 @@ from pathlib import Path
 from typing import Any, Optional, Tuple
 
 import jax
-import numpy as np
 import orbax.checkpoint as ocp
 
 

@@ -12,10 +12,9 @@ from __future__ import annotations
 import os
 import time
 from pathlib import Path
-from typing import Any, Dict, List, Optional
+from typing import Any, Dict, List
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 from ..config.node import Config

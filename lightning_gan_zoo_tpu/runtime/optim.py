@@ -8,7 +8,6 @@ relies on (RMSprop alpha=0.99 eps=1e-8; Adam eps=1e-8).
 """
 from __future__ import annotations
 
-import math
 from typing import Callable, Optional, Sequence
 
 import optax

@@ -6,7 +6,7 @@ file:line anchors.
 """
 from __future__ import annotations
 
-from typing import Any, Dict
+from typing import Dict
 
 import jax
 import jax.numpy as jnp

@@ -3,11 +3,8 @@ and ANIGAN figures end-to-end on synthetic shape analyses."""
 import numpy as np
 import jax
 import jax.numpy as jnp
-import pytest
-
 from tests.conftest import CONF_DIR
 from lightning_gan_zoo_tpu.config import compose
-from lightning_gan_zoo_tpu.config.node import Config
 from lightning_gan_zoo_tpu.config.registry import instantiate
 from lightning_gan_zoo_tpu.figures.image_io import make_grid, unnormalise
 from lightning_gan_zoo_tpu.figures.types import FigureContext, SampleGrid

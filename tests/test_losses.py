@@ -2,8 +2,6 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
-import pytest
-
 from lightning_gan_zoo_tpu.ops import losses as L
 
 

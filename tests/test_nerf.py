@@ -244,3 +244,19 @@ def test_anigan_superstep(deformer):
     state, metrics = _run_task(task, batch)
     assert np.isfinite(float(metrics["g_loss"]))
     assert float(metrics["silhouette"]) >= 0.0
+
+
+def test_siren_bf16_policy_stays_accurate():
+    """The first SIREN layer (w0=30) and all sine args run in f32 even under
+    the bf16 policy — outputs must track the full-f32 net closely."""
+    from lightning_gan_zoo_tpu.nerf.siren import SirenNet
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.uniform(-1, 1, (2, 64, 3)), jnp.float32)
+    net32 = SirenNet(dim_hidden=64, dim_out=4, num_layers=3,
+                     dtype=jnp.float32)
+    v = net32.init(jax.random.PRNGKey(0), x)
+    net16 = SirenNet(dim_hidden=64, dim_out=4, num_layers=3,
+                     dtype=jnp.bfloat16)
+    out32 = np.asarray(net32.apply(v, x))
+    out16 = np.asarray(net16.apply(v, x)).astype(np.float32)
+    assert np.mean(np.abs(out32 - out16)) < 0.05

@@ -3,8 +3,6 @@ emulate an 8-way mesh without a TPU)."""
 import jax
 import jax.numpy as jnp
 import numpy as np
-import pytest
-
 from tests.conftest import CONF_DIR
 from lightning_gan_zoo_tpu.config import compose
 from lightning_gan_zoo_tpu.config.registry import instantiate
