@@ -91,15 +91,32 @@ def _rigid_matrices(view: jax.Array) -> jax.Array:
 
 
 def rigid_transform_volume(voxels: jax.Array, view: jax.Array,
-                           size: int = 16, new_size: int = 16) -> jax.Array:
+                           size: int = 16, new_size: int = 16,
+                           resample: str = "auto") -> jax.Array:
     """Rigid transform of a feature volume by inverse-warping the output grid
-    (hologan_generator.py:198-243). voxels: (B, D, H, W, C)."""
+    (hologan_generator.py:198-243). voxels: (B, D, H, W, C).
+
+    resample modes:
+      'auto'   — exact trilinear; MXU kernel on TPU, XLA gather elsewhere
+      'mxu'    — Pallas one-hot-matmul kernel (ops/pallas/trilinear.py)
+      'gather' — XLA take_along_axis
+      'shear'  — multi-pass shear decomposition (ops/shear_warp.py): ~10×
+                 cheaper, exact on the affine map but a smoother resampling
+                 filter (NOT bit-equivalent to trilinear) — opt-in
+                 (generator.resample=shear)
+    """
     b = voxels.shape[0]
     m = _rigid_matrices(view)
     centroid = jnp.eye(4).at[:3, 3].set(-size * 0.5)
     centroid_new = jnp.eye(4).at[:3, 3].set(new_size * 0.5)
     full = centroid_new[None] @ m @ centroid[None]
     inv = jnp.linalg.inv(full)
+
+    if resample == "shear":
+        from ..ops.shear_warp import warp_by_inverse
+        assert size == new_size, "shear mode expects same-size warp"
+        out = warp_by_inverse(voxels.astype(jnp.float32), inv)
+        return out.astype(voxels.dtype)
 
     # homogeneous output grid, (x, y, z) over (W, H, D)
     zz, yy, xx = jnp.meshgrid(jnp.arange(new_size), jnp.arange(new_size),
@@ -108,9 +125,10 @@ def rigid_transform_volume(voxels: jax.Array, view: jax.Array,
                       jnp.ones(new_size ** 3)], axis=0).astype(jnp.float32)
     warped = inv @ grid[None]                      # (B, 4, N)
     coords = jnp.moveaxis(warped[:, :3, :], 1, 2)  # (B, N, 3) = (x, y, z)
-    if jax.default_backend() == "tpu":
-        # MXU one-hot-matmul kernel (ops/pallas/trilinear.py) — gathers
-        # serialise on TPU; the matmul formulation runs on the systolic array
+    use_mxu = resample == "mxu" or (resample == "auto"
+                                    and jax.default_backend() == "tpu")
+    if use_mxu:
+        # gathers serialise on TPU; the matmul formulation runs on the MXU
         from ..ops.pallas.trilinear import trilinear_resample_mxu
         out = trilinear_resample_mxu(voxels.astype(jnp.float32), coords)
     else:
@@ -153,6 +171,8 @@ class Generator(nn.Module):
     z_planes: int
     view_args: Any
     img_size: int = 64
+    #: volume resample mode — see rigid_transform_volume
+    resample: str = "auto"
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -177,7 +197,8 @@ class Generator(nn.Module):
         h = GenBlock3D(f * 2, dtype=self.dtype)(h, z)   # 4³ → 8³
         h = GenBlock3D(f, dtype=self.dtype)(h, z)       # 8³ → 16³
 
-        h = rigid_transform_volume(h, view_in, 16, 16)
+        h = rigid_transform_volume(h, view_in, 16, 16,
+                                   resample=self.resample)
 
         # projection unit: flip depth, collapse D into channels
         # (hologan_generator.py:130-133; layout note in module docstring)

@@ -15,13 +15,13 @@ trilinear interpolation, but expressed as a dense (TILE_N, D·H·W) @
 volumes the extra FLOPs are trivial against MXU throughput while removing
 every gather from the hot path.
 
-Measured on v5e (B=32, 16³×64, 4096 pts): 3.7 ms forward — the XLA dynamic
-gather formulation of the same op fails to even compile on this TPU stack.
-Known future optimisation: HoloGAN's warp is a per-sample AFFINE map, so the
-resample factorises into three shear passes (1-D interpolations = (16,16)
-matmuls per axis), reducing the dense-equivalent FLOPs ~256×; kept for a
-later round since the current kernel is already off the critical path for
-every family except HoloGAN.
+Measured on v5e (B=32, 16³×64, 4096 pts): 3.6 ms forward / 5.5 ms
+fwd+bwd — the XLA dynamic-gather formulation of the same op fails to even
+compile on this TPU stack. A shear-decomposition alternative
+(ops/shear_warp.py) with ~256× fewer dense-equivalent FLOPs was built and
+measured 5× SLOWER (19.9 ms fwd): its tiny batched (16,16)@(16,64) matmuls
+and rot90 axis permutes starve the MXU — an instructive confirmation that
+on TPU, big well-shaped matmuls beat algorithmically-leaner small ones.
 
 Differentiation: custom VJP. The cotangent flows to the VOLUME only
 (d_vox = Σ_tiles wᵀ @ g, same kernel structure); the sample coordinates get
