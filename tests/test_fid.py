@@ -86,3 +86,58 @@ def test_inception_metrics_end_to_end(tmp_path):
     assert np.isfinite(out["kid"])
     # real-side cache written next to the dataset root
     assert (tmp_path / "inception_cache.npz").exists()
+
+
+def test_torch_weight_loader_roundtrip():
+    """Export our flax Inception params into a torch-style state dict and
+    reload through load_torch_weights — outputs must be identical, proving
+    the name mapping + OIHW→HWIO transposes so the real FID checkpoint
+    drops in correctly."""
+    import torch
+    from lightning_gan_zoo_tpu.eval import inception as inc
+
+    model, variables = inc.init_random(jax.random.PRNGKey(3))
+
+    state = {}
+
+    def walk(tree, stats, prefix):
+        for k, v in tree.items():
+            name = f"{prefix}.{k}" if prefix else k
+            if isinstance(v, dict):
+                walk(v, stats.get(k, {}) if isinstance(stats, dict) else {},
+                     name)
+            elif k == "kernel":
+                state[name.replace(".kernel", ".weight")] = torch.from_numpy(
+                    np.asarray(v).transpose(3, 2, 0, 1))
+            elif k == "scale":
+                state[name.replace(".scale", ".weight")] = torch.from_numpy(
+                    np.asarray(v))
+            elif k == "bias":
+                state[name] = torch.from_numpy(np.asarray(v))
+
+    def walk_stats(tree, prefix):
+        for k, v in tree.items():
+            name = f"{prefix}.{k}" if prefix else k
+            if isinstance(v, dict):
+                walk_stats(v, name)
+            elif k == "mean":
+                state[name.replace(".mean", ".running_mean")] = \
+                    torch.from_numpy(np.asarray(v))
+            elif k == "var":
+                state[name.replace(".var", ".running_var")] = \
+                    torch.from_numpy(np.asarray(v))
+
+    walk(variables["params"], variables.get("batch_stats", {}), "")
+    walk_stats(variables["batch_stats"], "")
+
+    import tempfile, pathlib
+    with tempfile.TemporaryDirectory() as td:
+        path = pathlib.Path(td) / "weights.pth"
+        torch.save(state, path)
+        model2, vars2 = inc.load_torch_weights(path)
+
+    x = jnp.asarray(np.random.default_rng(0).uniform(0, 1, (2, 32, 32, 3)),
+                    jnp.float32)
+    out1 = np.asarray(model.apply(variables, x))
+    out2 = np.asarray(model2.apply(vars2, x))
+    np.testing.assert_allclose(out1, out2, atol=1e-5)
