@@ -49,6 +49,8 @@ def main():
     steps = int(os.environ.get("BENCH_STEPS", 30))
     overrides = [f"+expt={expt}", "dataset=synthetic", "calc_fid=False",
                  "save_ckpts=False"]
+    # BENCH_EXTRA: space-separated extra config overrides
+    overrides += os.environ.get("BENCH_EXTRA", "").split()
     if expt in ("pigan", "anigan"):
         overrides += ["machine=local"]
     cfg = compose(REPO / "conf", overrides)

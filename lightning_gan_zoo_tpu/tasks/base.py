@@ -78,10 +78,15 @@ class GANTask:
         self.noise_dim = int(cfg.model.noise_dim)
         self.generator = self.build_generator(self.dtype)
         self.discriminator = self.build_discriminator(self.dtype)
-        # fp32 twin of D for penalty branches (SURVEY §7.3: keep grad-of-grad
-        # out of bf16); same params, different compute dtype.
-        self.discriminator_hp = (self.build_discriminator(jnp.float32)
-                                 if self.dtype != jnp.float32
+        # Twin of D for penalty branches. Default float32 (SURVEY §7.3: keep
+        # grad-of-grad out of bf16); train.penalty_precision=16 opts the
+        # penalty into the bf16 policy for speed (the penalty is a
+        # regulariser — its norm tolerates reduced precision, but 32 is the
+        # faithful default).
+        pen_prec = int(cfg.train.get("penalty_precision", 32))
+        pen_dtype = jnp.bfloat16 if pen_prec == 16 else jnp.float32
+        self.discriminator_hp = (self.build_discriminator(pen_dtype)
+                                 if pen_dtype != self.dtype
                                  else self.discriminator)
 
     # -- model construction -------------------------------------------------
