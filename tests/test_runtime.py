@@ -1,0 +1,112 @@
+"""Runtime unit tests: version resolution, accumulation scheduling, optimizer
+builders, checkpoint find/save semantics, compose edge cases."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tests.conftest import CONF_DIR
+from lightning_gan_zoo_tpu.config import compose, ComposeError
+from lightning_gan_zoo_tpu.config.node import Config
+from lightning_gan_zoo_tpu.runtime import optim as O
+from lightning_gan_zoo_tpu.runtime.checkpoint import CheckpointManager
+from lightning_gan_zoo_tpu.runtime.loop import Trainer, _resolve_version
+
+
+def test_version_resolution_increments(tmp_path, monkeypatch):
+    monkeypatch.delenv("SLURM_JOB_ID", raising=False)
+    monkeypatch.delenv("SUBMITIT_JOB_ID", raising=False)
+    cfg = Config({"name": "x", "version": None})
+    assert _resolve_version(cfg, tmp_path) == "version_0"
+    (tmp_path / "x" / "version_0").mkdir(parents=True)
+    (tmp_path / "x" / "version_3").mkdir()
+    assert _resolve_version(cfg, tmp_path) == "version_4"
+    cfg2 = Config({"name": "x", "version": "abc"})
+    assert _resolve_version(cfg2, tmp_path) == "abc"
+
+
+def test_version_from_slurm_env(tmp_path, monkeypatch):
+    monkeypatch.setenv("SLURM_JOB_ID", "12345")
+    cfg = Config({"name": "x", "version": None})
+    assert _resolve_version(cfg, tmp_path) == "12345"
+
+
+def test_accum_factor_schedule(tmp_path):
+    """Epoch-scheduled accumulation {start_epoch, accumulation_factor}
+    (reference run_network.py:62-64)."""
+    cfg = compose(CONF_DIR, ["+expt=dc_gan", "dataset=synthetic",
+                             "train.img_size=16", "train.features_gen=8",
+                             "train.features_disc=8", "model.noise_dim=16",
+                             "calc_fid=False", "save_ckpts=False",
+                             "precision=32",
+                             f"output_root={tmp_path}", "version=t",
+                             "accumulate_grad_batches.start_epoch=5",
+                             "accumulate_grad_batches.accumulation_factor=4"])
+    tr = Trainer(cfg)
+    tr.epoch = 0
+    assert tr._accum_factor() == 1
+    tr.epoch = 5
+    assert tr._accum_factor() == 4
+
+
+def test_optimizer_builders_match_torch_defaults():
+    adam = O.build_optimizer(Config({"_target_": "torch.optim.Adam",
+                                     "lr": 1e-3, "betas": [0.5, 0.9]}))
+    rms = O.build_optimizer(Config({"_target_": "torch.optim.RMSprop",
+                                    "lr": 1e-4}))
+    p = {"w": jnp.ones((3,))}
+    g = {"w": jnp.ones((3,))}
+    for tx in (adam, rms):
+        state = tx.init(p)
+        upd, _ = tx.update(g, state, p)
+        assert np.isfinite(np.asarray(upd["w"])).all()
+
+
+def test_pigan_decay_schedule_endpoints():
+    sched = O.pigan_decay_schedule(4e-4, 1e-4, span=100)
+    assert float(sched(0)) == pytest.approx(1.0)
+    assert float(sched(100)) == pytest.approx(0.25)
+    assert float(sched(1000)) == pytest.approx(0.25)
+
+
+def test_hologan_schedule_ramp():
+    sched = O.hologan_schedule(total_epochs=10, steps_per_epoch=2)
+    assert float(sched(0)) == 1.0          # epoch 0
+    assert float(sched(10)) == 1.0         # epoch 5 == half
+    assert float(sched(16)) == pytest.approx(0.4)  # epoch 8
+    assert float(sched(20)) == 0.0         # epoch 10
+
+
+def test_find_ckpt_asserts_on_multiple(tmp_path):
+    (tmp_path / "model_best-1.00").mkdir()
+    (tmp_path / "model_best-2.00").mkdir()
+    with pytest.raises(AssertionError):
+        CheckpointManager.find_ckpt(tmp_path)
+
+
+def test_find_ckpt_none_and_single(tmp_path):
+    assert CheckpointManager.find_ckpt(tmp_path) is None
+    (tmp_path / "model_best-1.00").mkdir()
+    assert CheckpointManager.find_ckpt(tmp_path).name == "model_best-1.00"
+
+
+def test_best_fid_retention(tmp_path):
+    mgr = CheckpointManager(tmp_path, save_ckpts=True)
+    state = {"w": jnp.ones((2,))}
+    mgr.save_best(state, epoch=0, fid=12.3456)
+    assert (tmp_path / "model_best-12.35").exists()
+    mgr.save_best(state, epoch=1, fid=8.1)
+    assert (tmp_path / "model_best-8.10").exists()
+    assert not (tmp_path / "model_best-12.35").exists()  # old best pruned
+
+
+def test_compose_unknown_group_choice_error():
+    with pytest.raises(ComposeError):
+        compose(CONF_DIR, ["dataset=not_a_dataset"])
+
+
+def test_compose_group_replace_drops_stale_keys():
+    cfg = compose(CONF_DIR, ["+expt=anigan", "machine=local",
+                             "deformer=displacement"])
+    assert "DisplacementDeformer" in cfg.deformer._target_
+    assert "lambda_" not in cfg.deformer  # stale TPS key must not survive
