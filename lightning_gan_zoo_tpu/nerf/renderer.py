@@ -132,8 +132,10 @@ class RadianceFieldRenderer(nn.Module):
             mids, jax.lax.stop_gradient(weights_c[..., 1:-1]),
             self.n_pts_per_ray_fine, det=not do_stratify)
         z_samples = jax.lax.stop_gradient(z_samples)
-        depths_f = jnp.sort(jnp.concatenate([depths, z_samples], axis=-1),
-                            axis=-1)
+        # gather-gradient sort: jnp.sort's scatter VJP costs more than the
+        # whole SIREN trunk on this stack (ops/sorting.py)
+        from ..ops.sorting import sort_last
+        depths_f = sort_last(jnp.concatenate([depths, z_samples], axis=-1))
         pts_f = origins[:, :, None, :] + \
             depths_f[..., None] * dirs_n[:, :, None, :]
         dens_f, cols_f = self.rad_field(pts_f, dirs_n, z, **deform_kwargs)

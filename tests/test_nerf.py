@@ -303,3 +303,15 @@ def test_fast_sin_accuracy():
     err = float(jnp.max(jnp.abs(fast_sin(xs)
                                 - jnp.sin(xs.astype(jnp.float64)))))
     assert err < 1e-3  # an order of magnitude below bf16 resolution
+
+
+def test_sort_last_matches_jnp_sort_values_and_grads():
+    from lightning_gan_zoo_tpu.ops.sorting import sort_last
+    rng = np.random.default_rng(11)
+    x = jnp.asarray(rng.normal(size=(3, 5, 12)), jnp.float32)
+    np.testing.assert_array_equal(np.asarray(sort_last(x)),
+                                  np.asarray(jnp.sort(x, axis=-1)))
+    w = jnp.asarray(rng.normal(size=(3, 5, 12)), jnp.float32)
+    g1 = jax.grad(lambda a: jnp.sum(sort_last(a) * w))(x)
+    g2 = jax.grad(lambda a: jnp.sum(jnp.sort(a, axis=-1) * w))(x)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=1e-6)
