@@ -75,11 +75,27 @@ def main():
         build_superstep(task, g_tx, d_tx, df, gf), mesh, donate_state=True)
 
     n_micro = microbatch_count(df, gf)
+    rng0 = np.random.default_rng(0)
     batches = {
-        "image": jnp.asarray(np.random.default_rng(0).normal(
+        "image": jnp.asarray(rng0.normal(
             size=(n_micro, batch, img, img, 3)).astype(np.float32) * 0.5),
         "label": jnp.zeros((n_micro, batch), jnp.int32),
     }
+    if expt == "anigan":
+        # synthetic mesh analyses (the birds npz schema)
+        def sa(shape):
+            return jnp.asarray(rng0.normal(size=(n_micro, batch) + shape)
+                               .astype(np.float32))
+        quat = np.tile([1.0, 0, 0, 0], (n_micro, batch, 1))
+        cam = np.concatenate([np.ones((n_micro, batch, 1)),
+                              np.zeros((n_micro, batch, 2)), quat], -1)
+        batches["shape_analysis"] = {
+            "cam_pred": jnp.asarray(cam.astype(np.float32)),
+            "mean_shape": sa((40, 3)), "verts": sa((40, 3)),
+            "kp_verts": sa((15, 3)),
+            "mask_pred": jnp.asarray(rng0.uniform(
+                size=(n_micro, batch, img, img)).astype(np.float32)),
+        }
     batches = jax.device_put(batches, pmesh.batch_sharding(mesh))
 
     # warm-up / compile; a host transfer (not just block_until_ready) is the

@@ -15,6 +15,7 @@ Re-designs reference core/nerf/nerf_renderer.py TPU-first:
 """
 from __future__ import annotations
 
+from functools import partial
 from typing import Any, Optional
 
 import jax
@@ -34,23 +35,78 @@ def shifted_cumprod(x: jax.Array, shift: int = 1) -> jax.Array:
     return jnp.concatenate([pad, cp[..., :-shift]], axis=-1)
 
 
-def ea_raymarch(densities: jax.Array, features: jax.Array, *,
-                white_bg: bool = False, eps: float = 1e-10,
-                surface_thickness: int = 1):
-    """Emission-absorption compositing (reference raymarcher.py:16-63).
-
-    densities: (..., P, 1) in [0, 1]; features: (..., P, F).
-    Returns ((..., F+1) rgba-with-opacity, (..., P) weights); weights sum
-    to ≤1 per ray (the reference's invariant, raymarcher.py:38-42).
-    """
+def _ea_raymarch_impl(densities, features, white_bg: bool, eps: float):
     d = densities[..., 0]
-    absorption = shifted_cumprod((1.0 + eps) - d, shift=surface_thickness)
+    absorption = shifted_cumprod((1.0 + eps) - d, shift=1)
     weights = d * absorption
     feats = jnp.sum(weights[..., None] * features, axis=-2)
     opacities = 1.0 - jnp.prod(1.0 - d, axis=-1, keepdims=True)
     if white_bg:
         feats = feats + (1.0 - opacities)
     return jnp.concatenate([feats, opacities], axis=-1), weights
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def ea_raymarch(densities: jax.Array, features: jax.Array,
+                white_bg: bool = False, eps: float = 1e-10):
+    """Emission-absorption compositing (reference raymarcher.py:16-63).
+
+    densities: (..., P, 1) in [0, 1]; features: (..., P, F).
+    Returns ((..., F+1) rgba-with-opacity, (..., P) weights); weights sum
+    to ≤1 per ray (the reference's invariant, raymarcher.py:38-42).
+
+    Custom VJP: autodiff of the cumprod chain is expensive on TPU; the
+    analytic backward is pure cumsums/exclusive-cumprods —
+      ∂L/∂d_k = G_k·A_k − S_k/(c−d_k) + g_opac·Π_{i≠k}(1−d_i)
+    with G the total weight cotangent, S its suffix sum against w, and
+    A the absorption (validated against autodiff in tests/test_nerf.py).
+    """
+    return _ea_raymarch_impl(densities, features, white_bg, eps)
+
+
+def _ea_fwd(densities, features, white_bg, eps):
+    d = densities[..., 0]
+    c = 1.0 + eps
+    absorption = shifted_cumprod(c - d, shift=1)
+    weights = d * absorption
+    feats = jnp.sum(weights[..., None] * features, axis=-2)
+    one_minus = 1.0 - d
+    prod_all = jnp.prod(one_minus, axis=-1, keepdims=True)
+    opacities = 1.0 - prod_all
+    if white_bg:
+        feats = feats + (1.0 - opacities)
+    out = jnp.concatenate([feats, opacities], axis=-1)
+    return (out, weights), (d, features, absorption, weights)
+
+
+def _ea_bwd(white_bg, eps, res, cts):
+    d, features, absorption, weights = res
+    g_out, g_w = cts
+    c = 1.0 + eps
+    g_feat = g_out[..., :-1]
+    g_opac = g_out[..., -1:]
+    if white_bg:
+        # feats += (1 − opac): opacity picks up −Σ_f g_feat_f
+        g_opac = g_opac - jnp.sum(g_feat, axis=-1, keepdims=True)
+
+    # total cotangent on each weight: direct + through the feature sum
+    g_wtot = g_w + jnp.einsum("...f,...pf->...p", g_feat, features)
+    # d-gradient through w_i = d_i·Π_{j<i}(c−d_j):
+    gw = g_wtot * weights
+    suffix = jnp.flip(jnp.cumsum(jnp.flip(gw, -1), -1), -1) - gw  # Σ_{i>k}
+    dd = g_wtot * absorption - suffix / (c - d)
+    # opacity term: ∂(1−Π(1−d_i))/∂d_k = Π_{i≠k}(1−d_i), as exclusive
+    # prefix × suffix products (no division — safe at d→1)
+    one_minus = 1.0 - d
+    prefix = shifted_cumprod(one_minus, shift=1)
+    suffix_p = jnp.flip(shifted_cumprod(jnp.flip(one_minus, -1), shift=1), -1)
+    dd = dd + g_opac * prefix * suffix_p
+
+    d_features = weights[..., None] * g_feat[..., None, :]
+    return dd[..., None], d_features
+
+
+ea_raymarch.defvjp(_ea_fwd, _ea_bwd)
 
 
 class RadianceFieldRenderer(nn.Module):
@@ -122,7 +178,7 @@ class RadianceFieldRenderer(nn.Module):
         dens_c, cols_c = self.rad_field(pts, dirs_n, z, **deform_kwargs)
         rgba_c, weights_c = ea_raymarch(
             dens_c.astype(jnp.float32), cols_c.astype(jnp.float32),
-            white_bg=self.white_bg)
+            self.white_bg)
 
         # ---- fine pass: importance-sample the coarse weights
         # (raysampler.py:110-164); samples detach from the coarse graph
@@ -141,6 +197,6 @@ class RadianceFieldRenderer(nn.Module):
         dens_f, cols_f = self.rad_field(pts_f, dirs_n, z, **deform_kwargs)
         rgba_f, _ = ea_raymarch(
             dens_f.astype(jnp.float32), cols_f.astype(jnp.float32),
-            white_bg=self.white_bg)
+            self.white_bg)
 
         return rgba_f.reshape((b,) + spatial + (4,))

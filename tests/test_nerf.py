@@ -78,7 +78,7 @@ def test_ea_raymarch_weight_invariant():
 def test_ea_raymarch_white_bg():
     dens = jnp.zeros((1, 1, 4, 1))
     feats = jnp.zeros((1, 1, 4, 3))
-    rgba, _ = ea_raymarch(dens, feats, white_bg=True)
+    rgba, _ = ea_raymarch(dens, feats, True)
     np.testing.assert_allclose(np.asarray(rgba[..., :3]), 1.0, atol=1e-5)
 
 
@@ -315,3 +315,33 @@ def test_sort_last_matches_jnp_sort_values_and_grads():
     g1 = jax.grad(lambda a: jnp.sum(sort_last(a) * w))(x)
     g2 = jax.grad(lambda a: jnp.sum(jnp.sort(a, axis=-1) * w))(x)
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=1e-6)
+
+
+def test_ea_raymarch_custom_vjp_matches_autodiff():
+    """The closed-form backward must equal autodiff of the plain
+    implementation for both outputs, both inputs, both white_bg modes."""
+    from lightning_gan_zoo_tpu.nerf.renderer import (_ea_raymarch_impl,
+                                                     ea_raymarch)
+    rng = np.random.default_rng(12)
+    d = jnp.asarray(rng.uniform(0.01, 0.99, (2, 7, 9, 1)), jnp.float32)
+    f = jnp.asarray(rng.normal(size=(2, 7, 9, 3)), jnp.float32)
+    go = jnp.asarray(rng.normal(size=(2, 7, 4)), jnp.float32)
+    gw = jnp.asarray(rng.normal(size=(2, 7, 9)), jnp.float32)
+    for wb in (False, True):
+        def loss_custom(dd, ff):
+            out, w = ea_raymarch(dd, ff, wb)
+            return jnp.sum(out * go) + jnp.sum(w * gw)
+
+        def loss_ref(dd, ff):
+            out, w = _ea_raymarch_impl(dd, ff, wb, 1e-10)
+            return jnp.sum(out * go) + jnp.sum(w * gw)
+
+        v1 = float(loss_custom(d, f))
+        v2 = float(loss_ref(d, f))
+        assert v1 == pytest.approx(v2, rel=1e-5)
+        gd1, gf1 = jax.grad(loss_custom, argnums=(0, 1))(d, f)
+        gd2, gf2 = jax.grad(loss_ref, argnums=(0, 1))(d, f)
+        np.testing.assert_allclose(np.asarray(gd1), np.asarray(gd2),
+                                   rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(gf1), np.asarray(gf2),
+                                   rtol=1e-4, atol=1e-5)
