@@ -56,10 +56,12 @@ def ea_raymarch(densities: jax.Array, features: jax.Array,
     to ≤1 per ray (the reference's invariant, raymarcher.py:38-42).
 
     Custom VJP: autodiff of the cumprod chain is expensive on TPU; the
-    analytic backward is pure cumsums/exclusive-cumprods —
-      ∂L/∂d_k = G_k·A_k − S_k/(c−d_k) + g_opac·Π_{i≠k}(1−d_i)
-    with G the total weight cotangent, S its suffix sum against w, and
-    A the absorption (validated against autodiff in tests/test_nerf.py).
+    analytic backward is an exclusive-cumprod plus one affine suffix scan —
+      ∂L/∂d_k = (G_k − S_k)·A_k + g_opac·Π_{i≠k}(1−d_i),
+      S_k = u_{k+1} + (c−d_{k+1})·S_{k+1},  u = G·d,
+    with G the total weight cotangent and A the absorption. Division-free,
+    so it stays finite and exact when densities saturate to exactly 1.0
+    (validated against autodiff in tests/test_nerf.py).
     """
     return _ea_raymarch_impl(densities, features, white_bg, eps)
 
@@ -91,10 +93,29 @@ def _ea_bwd(white_bg, eps, res, cts):
 
     # total cotangent on each weight: direct + through the feature sum
     g_wtot = g_w + jnp.einsum("...f,...pf->...p", g_feat, features)
-    # d-gradient through w_i = d_i·Π_{j<i}(c−d_j):
-    gw = g_wtot * weights
-    suffix = jnp.flip(jnp.cumsum(jnp.flip(gw, -1), -1), -1) - gw  # Σ_{i>k}
-    dd = g_wtot * absorption - suffix / (c - d)
+    # d-gradient through w_i = d_i·Π_{j<i}(c−d_j): for i>k,
+    #   ∂w_i/∂d_k = −d_i·Π_{j<i,j≠k}(c−d_j) = −A_k·Σ-free suffix product,
+    # so  Σ_{i>k} g_i·∂w_i/∂d_k = −A_k·S_k  with the linear recurrence
+    #   S_k = u_{k+1} + a_{k+1}·S_{k+1},  u = g_wtot·d,  a = c−d.
+    # Division-free on purpose: bf16-sigmoid densities saturate to exactly
+    # 1.0 and c = 1+1e-10 is exactly 1.0 in f32, so the naive
+    # suffix-sum/(c−d) form hits 0/0 — whose true limit is NONZERO (the
+    # product with the zero factor removed). The suffix affine scan
+    # evaluates that limit exactly (validated vs autodiff incl. d==1.0 in
+    # tests/test_nerf.py).
+    a = c - d
+    u = g_wtot * d
+    a_sh = jnp.concatenate([a[..., 1:], jnp.ones_like(a[..., :1])], -1)
+    u_sh = jnp.concatenate([u[..., 1:], jnp.zeros_like(u[..., :1])], -1)
+
+    def _compose(p, q):  # suffix composition of affine maps x → A·x + B
+        ap, bp = p
+        aq, bq = q
+        return aq * ap, aq * bp + bq
+
+    _, s = jax.lax.associative_scan(
+        _compose, (a_sh, u_sh), reverse=True, axis=a_sh.ndim - 1)
+    dd = (g_wtot - s) * absorption
     # opacity term: ∂(1−Π(1−d_i))/∂d_k = Π_{i≠k}(1−d_i), as exclusive
     # prefix × suffix products (no division — safe at d→1)
     one_minus = 1.0 - d

@@ -345,3 +345,37 @@ def test_ea_raymarch_custom_vjp_matches_autodiff():
                                    rtol=1e-4, atol=1e-5)
         np.testing.assert_allclose(np.asarray(gf1), np.asarray(gf2),
                                    rtol=1e-4, atol=1e-5)
+
+
+def test_ea_raymarch_vjp_finite_at_saturated_density():
+    """Densities of exactly 1.0 (bf16 sigmoid saturation) make c−d == 0 in
+    f32; the closed-form backward must stay finite (the suffix sum is exactly
+    0 there, so the 0/0 resolves to 0) and match autodiff of the plain
+    implementation, which has no division at all."""
+    from lightning_gan_zoo_tpu.nerf.renderer import (_ea_raymarch_impl,
+                                                     ea_raymarch)
+    rng = np.random.default_rng(13)
+    d = rng.uniform(0.01, 0.99, (2, 5, 8, 1)).astype(np.float32)
+    d[0, 0, 2, 0] = 1.0   # interior saturation
+    d[1, 3, 0, 0] = 1.0   # first-sample saturation
+    d[0, 4, 7, 0] = 1.0   # last-sample saturation
+    d = jnp.asarray(d)
+    f = jnp.asarray(rng.normal(size=(2, 5, 8, 3)), jnp.float32)
+    go = jnp.asarray(rng.normal(size=(2, 5, 4)), jnp.float32)
+    gw = jnp.asarray(rng.normal(size=(2, 5, 8)), jnp.float32)
+    for wb in (False, True):
+        def loss_custom(dd, ff):
+            out, w = ea_raymarch(dd, ff, wb)
+            return jnp.sum(out * go) + jnp.sum(w * gw)
+
+        def loss_ref(dd, ff):
+            out, w = _ea_raymarch_impl(dd, ff, wb, 1e-10)
+            return jnp.sum(out * go) + jnp.sum(w * gw)
+
+        gd1, gf1 = jax.grad(loss_custom, argnums=(0, 1))(d, f)
+        gd2, gf2 = jax.grad(loss_ref, argnums=(0, 1))(d, f)
+        assert bool(jnp.all(jnp.isfinite(gd1))), "NaN in density grads"
+        np.testing.assert_allclose(np.asarray(gd1), np.asarray(gd2),
+                                   rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(gf1), np.asarray(gf2),
+                                   rtol=1e-4, atol=1e-5)
