@@ -58,6 +58,18 @@ class EpochLoader:
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
+        def put_checking_stop(item) -> bool:
+            """Bounded put that re-checks the stop event, so an early
+            consumer exit (fast_dev_run break, mid-epoch exception) can't
+            leave the worker blocked forever on a full queue."""
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.2)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         def worker():
             try:
                 for s in range(n_steps):
@@ -75,10 +87,11 @@ class EpochLoader:
                                             + vv.shape[1:])
                              for kk, vv in v.items()})
                         for k, v in flat.items()}
-                    q.put(stacked)
-                q.put(None)
+                    if not put_checking_stop(stacked):
+                        return
+                put_checking_stop(None)
             except BaseException as e:  # surface loader errors to consumer
-                q.put(e)
+                put_checking_stop(e)
 
         t = threading.Thread(target=worker, daemon=True)
         t.start()

@@ -45,20 +45,43 @@ def _newton_schulz_sqrtm(a: jax.Array, iters: int = 30) -> jax.Array:
 
 
 @partial(jax.jit, static_argnames=("eps",))
-def frechet_distance(mu1, sigma1, mu2, sigma2, eps: float = 1e-6):
-    """FID between two Gaussians (fid_score.py:25-80 semantics):
-    |mu1−mu2|² + tr(s1 + s2 − 2·sqrtm(s1·s2)); the eps·I offset mirrors the
-    reference's non-finite fallback."""
+def _frechet_distance_with_residual(mu1, sigma1, mu2, sigma2,
+                                    eps: float = 1e-6):
     mu1 = mu1.astype(jnp.float32)
     mu2 = mu2.astype(jnp.float32)
     diff = mu1 - mu2
     offset = eps * jnp.eye(sigma1.shape[0], dtype=jnp.float32)
     s1 = sigma1.astype(jnp.float32) + offset
     s2 = sigma2.astype(jnp.float32) + offset
-    covmean = _newton_schulz_sqrtm(s1 @ s2)
+    prod = s1 @ s2
+    covmean = _newton_schulz_sqrtm(prod)
+    # convergence check: ||covmean² − s1·s2||_F / ||s1·s2||_F
+    residual = (jnp.linalg.norm(covmean @ covmean - prod)
+                / jnp.maximum(jnp.linalg.norm(prod), 1e-30))
     tr_covmean = jnp.trace(covmean)
-    return (jnp.dot(diff, diff) + jnp.trace(s1) + jnp.trace(s2)
-            - 2.0 * tr_covmean)
+    fid = (jnp.dot(diff, diff) + jnp.trace(s1) + jnp.trace(s2)
+           - 2.0 * tr_covmean)
+    return fid, residual
+
+
+def frechet_distance(mu1, sigma1, mu2, sigma2, eps: float = 1e-6,
+                     residual_tol: float = 1e-2):
+    """FID between two Gaussians (fid_score.py:25-80 semantics):
+    |mu1−mu2|² + tr(s1 + s2 − 2·sqrtm(s1·s2)); the eps·I offset mirrors the
+    reference's non-finite fallback.
+
+    The on-device Newton–Schulz sqrtm's relative residual
+    ||covmean² − s1·s2||/||s1·s2|| is checked; on non-convergence
+    (ill-conditioned products) the scipy.linalg.sqrtm path is used instead
+    of returning a silently wrong value."""
+    fid, residual = _frechet_distance_with_residual(mu1, sigma1, mu2, sigma2,
+                                                    eps)
+    if not np.isfinite(float(fid)) or float(residual) > residual_tol:
+        return jnp.asarray(frechet_distance_np(
+            np.asarray(mu1, np.float64), np.asarray(sigma1, np.float64),
+            np.asarray(mu2, np.float64), np.asarray(sigma2, np.float64),
+            eps), jnp.float32)
+    return fid
 
 
 def frechet_distance_np(mu1, sigma1, mu2, sigma2, eps: float = 1e-6):

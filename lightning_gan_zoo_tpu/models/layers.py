@@ -161,10 +161,13 @@ class SpectralNormConv(nn.Module):
         v = v / (jnp.linalg.norm(v) + 1e-12)
         u_new = w.T @ v
         u_new = u_new / (jnp.linalg.norm(u_new) + 1e-12)
-        sigma = v @ (w @ u_new)
         if self.update_stats and not self.is_initializing():
             u_var.value = jax.lax.stop_gradient(u_new)
-        kernel_sn = kernel / jax.lax.stop_gradient(sigma)
+        # torch.nn.utils.spectral_norm semantics: u/v are detached buffers,
+        # but sigma = vᵀWu keeps the explicit W dependency, so gradients
+        # carry the −W·∂σ/∂W/σ² term (hologan_discriminator.py:15 wraps it).
+        sigma = jax.lax.stop_gradient(v) @ (w @ jax.lax.stop_gradient(u_new))
+        kernel_sn = kernel / sigma
         y = jax.lax.conv_general_dilated(
             x.astype(self.dtype), kernel_sn.astype(self.dtype),
             window_strides=tuple(self.strides),

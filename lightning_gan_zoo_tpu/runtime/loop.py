@@ -117,8 +117,12 @@ class Trainer:
                 figs.append(instantiate(node, self.cfg.figure_details,
                                         str(self.logging_dir),
                                         monitor=monitor))
-            except Exception as e:
-                print(f"[figures] skipping {name}: {e}")
+            except FileNotFoundError as e:
+                # the one documented data-dependent skip: a figure whose
+                # dataset isn't on disk (e.g. birds shape analyses)
+                print(f"[figures] skipping {name} (missing data): {e}")
+            # anything else (typo'd _target_, bad kwargs) must FAIL the run
+            # rather than silently dropping the figure from training
         return figs
 
     def _initial_batch_size(self) -> int:

@@ -22,6 +22,9 @@ class ExperimentLogger:
         self.dir.mkdir(parents=True, exist_ok=True)
         self._csv_path = self.dir / "metrics.csv"
         self._csv_fields: list[str] = []
+        # CSV gated like TB: in multi-host runs every process would
+        # read-modify-write the same metrics.csv on a shared filesystem
+        self._enable_csv = enable_tb
         self._tb = None
         if enable_tb:
             try:
@@ -42,6 +45,8 @@ class ExperimentLogger:
         self._append_csv(metrics, step)
 
     def _append_csv(self, metrics: Dict[str, float], step: int):
+        if not self._enable_csv:
+            return
         row = {"step": step, "time": time.time(), **metrics}
         fields = sorted(set(self._csv_fields) | set(row))
         rewrite = fields != self._csv_fields and self._csv_path.exists()

@@ -141,3 +141,24 @@ def test_torch_weight_loader_roundtrip():
     out1 = np.asarray(model.apply(variables, x))
     out2 = np.asarray(model2.apply(vars2, x))
     np.testing.assert_allclose(out1, out2, atol=1e-5)
+
+
+def test_frechet_fallback_on_ill_conditioned():
+    """On covariance products where 30 Newton-Schulz iterations don't
+    converge, frechet_distance must fall back to the scipy path instead of
+    returning a silently wrong value."""
+    rng = np.random.default_rng(5)
+    d = 24
+    q, _ = np.linalg.qr(rng.normal(size=(d, d)))
+    # eigenvalues spanning 14 orders of magnitude -> hopeless for f32 NS
+    ev1 = np.logspace(-8, 6, d)
+    ev2 = np.logspace(-6, 6, d)[::-1]
+    s1 = (q * ev1) @ q.T
+    s2 = (q * ev2) @ q.T
+    mu1 = rng.normal(size=d)
+    mu2 = rng.normal(size=d)
+    got = float(F.frechet_distance(
+        jnp.asarray(mu1, jnp.float32), jnp.asarray(s1, jnp.float32),
+        jnp.asarray(mu2, jnp.float32), jnp.asarray(s2, jnp.float32)))
+    want = float(F.frechet_distance_np(mu1, s1, mu2, s2))
+    assert got == pytest.approx(want, rel=1e-3)

@@ -124,3 +124,49 @@ def test_upsample2_nearest():
     assert y.shape == (1, 4, 4, 1)
     assert np.all(y[0, :2, :2, 0] == 0)
     assert np.all(y[0, 2:, 2:, 0] == 3)
+
+
+def test_spectral_norm_gradient_matches_torch():
+    """torch.nn.utils.spectral_norm lets gradients flow through
+    sigma = u^T W v (u/v detached); the kernel gradient must match torch's
+    including the -W*dsigma/dW/sigma^2 term."""
+    import torch
+    import torch.nn.utils as tnu
+
+    kh = kw = 3
+    cin, cout = 4, 8
+    rng = np.random.default_rng(3)
+    w_oihw = rng.normal(size=(cout, cin, kh, kw)).astype(np.float32)
+    x_nchw = rng.normal(size=(2, cin, 8, 8)).astype(np.float32)
+
+    tconv = torch.nn.Conv2d(cin, cout, 3, padding=1, bias=False)
+    with torch.no_grad():
+        tconv.weight.copy_(torch.from_numpy(w_oihw))
+    tconv = tnu.spectral_norm(tconv, n_power_iterations=1)
+    u0 = np.full((cout,), 1.0 / np.sqrt(cout), np.float32)
+    with torch.no_grad():
+        tconv.weight_u.copy_(torch.from_numpy(u0))
+    tx = torch.from_numpy(x_nchw)
+    ty = tconv(tx)
+    ty.sum().backward()
+    tgrad = tconv.weight_orig.grad.numpy()  # (out, in, kh, kw)
+
+    m = SpectralNormConv(features=cout, kernel_size=(kh, kw), use_bias=False)
+    kernel_hwio = jnp.asarray(np.transpose(w_oihw, (2, 3, 1, 0)))
+    variables = {"params": {"kernel": kernel_hwio},
+                 "spectral": {"u": jnp.asarray(u0)}}
+    xj = jnp.asarray(np.transpose(x_nchw, (0, 2, 3, 1)))
+
+    def loss(params):
+        y, _ = m.apply({"params": params, "spectral": variables["spectral"]},
+                       xj, mutable=["spectral"])
+        return jnp.sum(y)
+
+    y_j, _ = m.apply(variables, xj, mutable=["spectral"])
+    np.testing.assert_allclose(
+        np.transpose(np.asarray(y_j), (0, 3, 1, 2)),
+        ty.detach().numpy(), rtol=2e-4, atol=2e-4)
+    g = jax.grad(loss)({"kernel": kernel_hwio})["kernel"]
+    np.testing.assert_allclose(
+        np.transpose(np.asarray(g), (3, 2, 0, 1)), tgrad,
+        rtol=2e-4, atol=2e-4)

@@ -110,3 +110,53 @@ def test_compose_group_replace_drops_stale_keys():
                              "deformer=displacement"])
     assert "DisplacementDeformer" in cfg.deformer._target_
     assert "lambda_" not in cfg.deformer  # stale TPS key must not survive
+
+
+def test_figure_config_typo_fails_run(tmp_path):
+    """A misspelled figure _target_ must raise at Trainer construction, not
+    be silently dropped from the run."""
+    cfg = compose(CONF_DIR, ["+expt=dc_gan", "dataset=synthetic",
+                             "train.img_size=16", "train.features_gen=8",
+                             "train.features_disc=8", "model.noise_dim=16",
+                             "calc_fid=False", "save_ckpts=False",
+                             "precision=32",
+                             f"output_root={tmp_path}", "version=t"])
+    cfg.figures["bogus"] = Config(
+        {"_target_": "core.figures.types.NoSuchFigure"})
+    with pytest.raises(Exception):
+        Trainer(cfg)
+
+
+def test_figure_missing_data_is_skipped(tmp_path, capsys):
+    """The documented data-dependent skip: a figure whose dataset file is
+    absent is dropped with a message, everything else still constructs."""
+    cfg = compose(CONF_DIR, ["+expt=dc_gan", "dataset=synthetic",
+                             "train.img_size=16", "train.features_gen=8",
+                             "train.features_disc=8", "model.noise_dim=16",
+                             "calc_fid=False", "save_ckpts=False",
+                             "precision=32",
+                             f"output_root={tmp_path}", "version=t"])
+    n_base = len(Trainer(cfg).figures)
+    assert n_base > 0
+
+    from lightning_gan_zoo_tpu.config import registry
+
+    def _needs_data(*a, **kw):
+        raise FileNotFoundError("/no/such/analysis_root")
+
+    registry.register("tests.needs_data_figure")(_needs_data)
+    try:
+        cfg2 = compose(CONF_DIR, ["+expt=dc_gan", "dataset=synthetic",
+                                  "train.img_size=16", "train.features_gen=8",
+                                  "train.features_disc=8",
+                                  "model.noise_dim=16",
+                                  "calc_fid=False", "save_ckpts=False",
+                                  "precision=32",
+                                  f"output_root={tmp_path}", "version=t2"])
+        cfg2.figures["needs_data"] = Config(
+            {"_target_": "tests.needs_data_figure"})
+        tr = Trainer(cfg2)
+        assert len(tr.figures) == n_base  # skipped, others intact
+        assert "missing data" in capsys.readouterr().out
+    finally:
+        registry._REGISTRY.pop("tests.needs_data_figure", None)
