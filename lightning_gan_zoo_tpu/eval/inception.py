@@ -248,12 +248,13 @@ def load_torch_weights(path: str | Path):
             node = node.setdefault(k, {})
         node[keys[-1]] = jnp.asarray(value.numpy())
 
+    unconsumed = []
     for name, tensor in state.items():
         parts = name.split(".")
-        if parts[-2] == "conv" and parts[-1] == "weight":
+        if len(parts) >= 2 and parts[-2] == "conv" and parts[-1] == "weight":
             put(params, parts[:-1] + ["kernel"],
                 tensor.permute(2, 3, 1, 0))
-        elif parts[-2] == "bn":
+        elif len(parts) >= 2 and parts[-2] == "bn":
             if parts[-1] == "weight":
                 put(params, parts[:-1] + ["scale"], tensor)
             elif parts[-1] == "bias":
@@ -262,15 +263,56 @@ def load_torch_weights(path: str | Path):
                 put(batch_stats, parts[:-1] + ["mean"], tensor)
             elif parts[-1] == "running_var":
                 put(batch_stats, parts[:-1] + ["var"], tensor)
-        # fc layer (block 4 / logits) is unused for pool3 features
+            elif parts[-1] != "num_batches_tracked":
+                unconsumed.append(name)
+        elif parts[0] in ("fc", "AuxLogits") or parts[-1] == \
+                "num_batches_tracked":
+            pass  # logits head / aux classifier: unused for pool3 features
+        else:
+            unconsumed.append(name)
+
+    # STRICT validation: the assembled tree must exactly match the model's
+    # expected structure and shapes, so dropping in the real
+    # pt_inception-2015-12-05 file is verified turn-key — a name-mapping
+    # miss fails loudly instead of silently leaving random init somewhere.
     model = InceptionV3FID()
-    return model, {"params": params, "batch_stats": batch_stats}
+    variables = {"params": params, "batch_stats": batch_stats}
+    expected = jax.eval_shape(model.init, jax.random.PRNGKey(0),
+                              jnp.zeros((1, 75, 75, 3)))
+    exp_flat = {"/".join(str(k.key) for k in path): v.shape
+                for path, v in jax.tree_util.tree_flatten_with_path(
+                    expected)[0]}
+    got_flat = {"/".join(str(k.key) for k in path): v.shape
+                for path, v in jax.tree_util.tree_flatten_with_path(
+                    variables)[0]}
+    problems = []
+    if unconsumed:
+        problems.append(f"unmapped torch keys: {sorted(unconsumed)[:8]}")
+    missing = sorted(set(exp_flat) - set(got_flat))
+    extra = sorted(set(got_flat) - set(exp_flat))
+    if missing:
+        problems.append(f"missing parameters: {missing[:8]}")
+    if extra:
+        problems.append(f"unexpected parameters: {extra[:8]}")
+    bad_shapes = [f"{k}: got {got_flat[k]}, want {exp_flat[k]}"
+                  for k in set(exp_flat) & set(got_flat)
+                  if tuple(got_flat[k]) != tuple(exp_flat[k])]
+    if bad_shapes:
+        problems.append(f"shape mismatches: {sorted(bad_shapes)[:8]}")
+    if problems:
+        raise ValueError(
+            f"Inception weights at {path} do not map onto the FID "
+            f"InceptionV3: " + "; ".join(problems))
+    return model, variables
 
 
 def build(weights_path: Optional[str] = None):
-    """Model + variables; tries the weights file, falls back to random."""
+    """(model, variables, calibrated) — tries the weights file, falls back
+    to random init with ``calibrated=False`` so callers can rename metrics
+    (fid → fid_uncalibrated) and skip best-FID checkpoint naming."""
     if weights_path and Path(weights_path).exists():
-        return load_torch_weights(weights_path)
+        model, variables = load_torch_weights(weights_path)
+        return model, variables, True
     if weights_path:
         print(f"[fid] WARNING: inception weights not found at "
               f"{weights_path}; using random init — FID/KID values are "
@@ -279,4 +321,5 @@ def build(weights_path: Optional[str] = None):
         print("[fid] WARNING: no inception weights configured; using random "
               "init — set val.inception_weights_path to the "
               "pt_inception-2015-12-05 checkpoint for reference parity")
-    return init_random()
+    model, variables = init_random()
+    return model, variables, False

@@ -27,16 +27,22 @@ from .inception import build as build_inception
 
 
 class InceptionMetrics:
-    def __init__(self, cfg: Config, task, batch_size: Optional[int] = None):
+    def __init__(self, cfg: Config, task, batch_size: Optional[int] = None,
+                 logging_dir: Optional[str] = None):
         self.cfg = cfg
         self.task = task
         self.n_samples = int(cfg.val.get("fid_n_samples", 5000))
+        # opt-in PNG dump of the generated samples (the reference's
+        # test_samples/ dir, callback_inception_metrics.py:187-205)
+        self.dump_dir: Optional[Path] = None
+        if logging_dir and bool(cfg.val.get("dump_fid_samples", False)):
+            self.dump_dir = Path(logging_dir) / "test_samples"
         # reference generates in batches of 50 (:166-168); never exceed the
         # sample count (avoids compiling an oversized bucket)
         self.batch_size = int(batch_size or cfg.val.get(
             "fid_batch_size", min(50, self.n_samples)))
         weights = cfg.val.get("inception_weights_path")
-        self.model, self.variables = build_inception(weights)
+        self.model, self.variables, self.calibrated = build_inception(weights)
         self._acts_fn = jax.jit(
             lambda imgs: self.model.apply(self.variables, imgs))
         # fused generate→[0,1]→inception pool3, entirely on device: only the
@@ -51,7 +57,9 @@ class InceptionMetrics:
             img01 = jnp.clip(fake[..., :3] * std + mean, 0.0, 1.0)
             if img01.shape[-1] == 1:
                 img01 = jnp.repeat(img01, 3, axis=-1)
-            return self.model.apply(self.variables, img01)
+            # img01 only crosses the host boundary when dump_fid_samples
+            # fetches it; otherwise XLA's output stays on device unread
+            return self.model.apply(self.variables, img01), img01
 
         self._gen_acts_fn = jax.jit(_fused)
         self._real_stats = None
@@ -79,13 +87,28 @@ class InceptionMetrics:
         z into batches of 50, :166-168), fused generation+inception on
         device."""
         outs = []
+        if self.dump_dir is not None:
+            # reference clear_fake_img_dir semantics (:170-176)
+            import shutil
+            shutil.rmtree(self.dump_dir, ignore_errors=True)
+            self.dump_dir.mkdir(parents=True, exist_ok=True)
         n_batches = -(-self.n_samples // self.batch_size)
+        written = 0
         for i in range(n_batches):
             r = jax.random.fold_in(rng, i)
             z = self.task.sample_z(r, self.batch_size)
-            acts = self._gen_acts_fn(g_params, g_state, z,
-                                     jax.random.fold_in(r, 1))
+            acts, imgs = self._gen_acts_fn(g_params, g_state, z,
+                                           jax.random.fold_in(r, 1))
             outs.append(np.asarray(acts))
+            if self.dump_dir is not None and written < self.n_samples:
+                from PIL import Image
+                for img in np.asarray(imgs):
+                    if written >= self.n_samples:
+                        break
+                    Image.fromarray(
+                        (img * 255).astype(np.uint8)).save(
+                            self.dump_dir / f"fake_img_{written}.png")
+                    written += 1
         return np.concatenate(outs, axis=0)[:self.n_samples]
 
     # -- real side --------------------------------------------------------------
@@ -141,4 +164,9 @@ class InceptionMetrics:
         kid = float(fid_ops.kid_from_activations(
             jax.random.fold_in(rng, 777), jnp.asarray(real_acts),
             jnp.asarray(fake_acts)))
+        if not self.calibrated:
+            # random-init Inception: values are self-consistent but NOT
+            # comparable to published numbers — make that impossible to
+            # mistake in logs/checkpoint names
+            return {"fid_uncalibrated": fid, "kid_uncalibrated": kid}
         return {"fid": fid, "kid": kid}

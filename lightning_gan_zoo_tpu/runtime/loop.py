@@ -88,7 +88,8 @@ class Trainer:
         if bool(cfg.get("calc_fid", False)) and bool(cfg.val.get("use_fid",
                                                                  True)):
             from ..eval.metrics_callback import InceptionMetrics
-            self.metrics_eval = InceptionMetrics(cfg, self.task)
+            self.metrics_eval = InceptionMetrics(
+                cfg, self.task, logging_dir=str(self.logging_dir))
 
         self.timer = StepTimer()
         self.trace = TraceCapture(self.logging_dir / "trace",
@@ -321,17 +322,22 @@ class Trainer:
             self.logger.log_scalars(fid_kid, global_step)
             print("  " + " ".join(f"{k}={v:.3f}" for k, v in fid_kid.items()))
 
-        # figures
+        # figures — improvement gating may use the uncalibrated FID (it is
+        # self-consistent within a run), so alias it under the monitor key
+        fig_metrics = dict(metrics)
+        if "fid" not in fig_metrics and "fid_uncalibrated" in fig_metrics:
+            fig_metrics["fid"] = fig_metrics["fid_uncalibrated"]
         ctx = FigureContext(task=self.task, g_params=self.state.g_params,
                             g_state=self.state.g_state, cfg=cfg,
                             epoch=self.epoch, rng=rng)
         for fig in self.figures:
             try:
-                fig.on_validation_end(ctx, metrics)
+                fig.on_validation_end(ctx, fig_metrics)
             except NotImplementedError as e:
                 print(f"[figures] {type(fig).__name__}: {e}")
 
-        # checkpoint (best-FID policy; without FID keep latest)
+        # checkpoint (best-FID policy; an uncalibrated FID never names a
+        # checkpoint — without calibrated FID keep latest)
         fid = metrics.get("fid")
         if fid is None or fid < self.best_fid:
             if fid is not None:

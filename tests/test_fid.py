@@ -82,22 +82,18 @@ def test_inception_metrics_end_to_end(tmp_path):
     g_state = {k: v for k, v in g_vars.items() if k != "params"}
     out = metrics.compute(dict(g_vars)["params"], g_state,
                           jax.random.PRNGKey(1))
-    assert np.isfinite(out["fid"]) and out["fid"] >= 0
-    assert np.isfinite(out["kid"])
+    # random-init Inception => metrics are explicitly marked uncalibrated
+    assert "fid" not in out and "kid" not in out
+    assert np.isfinite(out["fid_uncalibrated"]) and \
+        out["fid_uncalibrated"] >= 0
+    assert np.isfinite(out["kid_uncalibrated"])
     # real-side cache written next to the dataset root
     assert (tmp_path / "inception_cache.npz").exists()
 
 
-def test_torch_weight_loader_roundtrip():
-    """Export our flax Inception params into a torch-style state dict and
-    reload through load_torch_weights — outputs must be identical, proving
-    the name mapping + OIHW→HWIO transposes so the real FID checkpoint
-    drops in correctly."""
+def _export_torch_state(variables):
+    """Flax Inception variables -> pytorch_fid-style state dict."""
     import torch
-    from lightning_gan_zoo_tpu.eval import inception as inc
-
-    model, variables = inc.init_random(jax.random.PRNGKey(3))
-
     state = {}
 
     def walk(tree, stats, prefix):
@@ -129,12 +125,22 @@ def test_torch_weight_loader_roundtrip():
 
     walk(variables["params"], variables.get("batch_stats", {}), "")
     walk_stats(variables["batch_stats"], "")
+    return state
 
-    import tempfile, pathlib
-    with tempfile.TemporaryDirectory() as td:
-        path = pathlib.Path(td) / "weights.pth"
-        torch.save(state, path)
-        model2, vars2 = inc.load_torch_weights(path)
+
+def test_torch_weight_loader_roundtrip(tmp_path):
+    """Export our flax Inception params into a torch-style state dict and
+    reload through load_torch_weights — outputs must be identical, proving
+    the name mapping + OIHW→HWIO transposes so the real FID checkpoint
+    drops in correctly."""
+    import torch
+    from lightning_gan_zoo_tpu.eval import inception as inc
+
+    model, variables = inc.init_random(jax.random.PRNGKey(3))
+    state = _export_torch_state(variables)
+    path = tmp_path / "weights.pth"
+    torch.save(state, path)
+    model2, vars2 = inc.load_torch_weights(path)
 
     x = jnp.asarray(np.random.default_rng(0).uniform(0, 1, (2, 32, 32, 3)),
                     jnp.float32)
@@ -162,3 +168,92 @@ def test_frechet_fallback_on_ill_conditioned():
         jnp.asarray(mu2, jnp.float32), jnp.asarray(s2, jnp.float32)))
     want = float(F.frechet_distance_np(mu1, s1, mu2, s2))
     assert got == pytest.approx(want, rel=1e-3)
+
+
+def test_weight_loader_rejects_bad_state_dicts(tmp_path):
+    """Turn-key drop-in guarantee: a weights file that does not map EXACTLY
+    onto the FID InceptionV3 (missing key, misspelled key, wrong shape)
+    fails loudly instead of silently leaving random init somewhere."""
+    import torch
+    from lightning_gan_zoo_tpu.eval import inception as inc
+
+    _, variables = inc.init_random(jax.random.PRNGKey(3))
+    good = _export_torch_state(variables)
+
+    missing = dict(good)
+    missing.pop("Mixed_5b.branch1x1.conv.weight")
+    torch.save(missing, tmp_path / "missing.pth")
+    with pytest.raises(ValueError, match="missing parameters"):
+        inc.load_torch_weights(tmp_path / "missing.pth")
+
+    misspelled = dict(good)
+    misspelled["Mixed_5b.branchXxX.conv.weight"] = misspelled.pop(
+        "Mixed_5b.branch1x1.conv.weight")
+    torch.save(misspelled, tmp_path / "misspelled.pth")
+    with pytest.raises(ValueError):
+        inc.load_torch_weights(tmp_path / "misspelled.pth")
+
+    badshape = dict(good)
+    badshape["Mixed_5b.branch1x1.conv.weight"] = torch.zeros(7, 7, 3, 3)
+    torch.save(badshape, tmp_path / "badshape.pth")
+    with pytest.raises(ValueError, match="shape mismatches"):
+        inc.load_torch_weights(tmp_path / "badshape.pth")
+
+
+def test_metrics_calibrated_with_weights_file(tmp_path):
+    """With a valid weights file configured, build() reports calibrated and
+    InceptionMetrics logs plain fid/kid keys."""
+    import torch
+    from tests.conftest import CONF_DIR
+    from lightning_gan_zoo_tpu.config import compose
+    from lightning_gan_zoo_tpu.eval import inception as inc
+    from lightning_gan_zoo_tpu.eval.metrics_callback import InceptionMetrics
+    from lightning_gan_zoo_tpu.config.registry import instantiate
+
+    _, variables = inc.init_random(jax.random.PRNGKey(3))
+    path = tmp_path / "pt_inception.pth"
+    torch.save(_export_torch_state(variables), path)
+    model, vars2, calibrated = inc.build(str(path))
+    assert calibrated
+
+    cfg = compose(CONF_DIR, [
+        "+expt=dc_gan", "dataset=synthetic", "train.img_size=16",
+        "train.batch_size=4", "train.features_disc=8",
+        "train.features_gen=8", "model.noise_dim=16", "precision=32",
+        "val.fid_n_samples=4", f"dataset.root={tmp_path}", "dataset.n=8",
+        f"val.inception_weights_path={path}"])
+    task = instantiate(cfg.model.lm, cfg, str(tmp_path))
+    g_vars, _ = task.init(jax.random.PRNGKey(0))
+    metrics = InceptionMetrics(cfg, task, batch_size=4)
+    assert metrics.calibrated
+    g_state = {k: v for k, v in g_vars.items() if k != "params"}
+    out = metrics.compute(dict(g_vars)["params"], g_state,
+                          jax.random.PRNGKey(1))
+    assert "fid" in out and "kid" in out
+
+
+def test_dump_fid_samples_writes_pngs(tmp_path):
+    """val.dump_fid_samples=true writes the generated samples as PNGs under
+    <logging_dir>/test_samples/ (reference parity, opt-in here)."""
+    from tests.conftest import CONF_DIR
+    from lightning_gan_zoo_tpu.config import compose
+    from lightning_gan_zoo_tpu.config.registry import instantiate
+    from lightning_gan_zoo_tpu.eval.metrics_callback import InceptionMetrics
+
+    cfg = compose(CONF_DIR, [
+        "+expt=dc_gan", "dataset=synthetic", "train.img_size=16",
+        "train.batch_size=4", "train.features_disc=8",
+        "train.features_gen=8", "model.noise_dim=16", "precision=32",
+        "val.fid_n_samples=6", f"dataset.root={tmp_path}", "dataset.n=8",
+        "val.dump_fid_samples=True"])
+    task = instantiate(cfg.model.lm, cfg, str(tmp_path))
+    g_vars, _ = task.init(jax.random.PRNGKey(0))
+    metrics = InceptionMetrics(cfg, task, batch_size=4,
+                               logging_dir=str(tmp_path))
+    g_state = {k: v for k, v in g_vars.items() if k != "params"}
+    metrics.compute(dict(g_vars)["params"], g_state, jax.random.PRNGKey(1))
+    pngs = sorted((tmp_path / "test_samples").glob("*.png"))
+    assert len(pngs) == 6
+    from PIL import Image
+    im = Image.open(pngs[0])
+    assert im.size == (16, 16)
