@@ -3,11 +3,11 @@
 Re-designs reference core/nerf/nerf_renderer.py TPU-first:
 
   * NO python chunk loop (nerf_renderer.py:188-203) and NO per-chunk
-    device→host copies (:156-159): all B×rays×points samples materialise at
-    once — at the zoo's resolutions (≤128², ≤32 pts) this fits HBM easily and
-    keeps the whole render one fused XLA computation. ``chunk_size`` is
-    accepted for config parity; if the ray count exceeds it, rays are
-    processed in lax.map tiles to bound memory.
+    device→host copies (:156-159): at training shapes all B×rays×points
+    samples materialise at once in one fused XLA computation. When the ray
+    count exceeds ``chunk_size`` (e.g. 128² figure/FID generation), rays are
+    processed in ``lax.map`` tiles — the same HBM bound as the reference's
+    loop but still a single compiled program (tiled-vs-fused parity tested).
   * coarse and fine passes share ONE radiance-field module (the reference
     stores the same module under both keys, nerf_renderer.py:90).
   * stratified depth jitter and fine-pass inverse-CDF sampling consume
@@ -173,30 +173,13 @@ class RadianceFieldRenderer(nn.Module):
                 dim_hidden=self.siren_dim_hidden,
                 dtype=self.dtype)
 
-    def __call__(self, z, cameras: OrthographicCameras, rays_xy,
-                 train: bool = True, **deform_kwargs):
-        """rays_xy: (B, H, W, 2) or (B, N, 2) NDC grid → (B, H, W, 4) or
-        (B, N, 4) fine RGBA."""
-        b = z.shape[0]
-        spatial = rays_xy.shape[1:-1]
-        xy = rays_xy.reshape(b, -1, 2).astype(jnp.float32)
-
-        origins, directions = world_rays_from_ndc(cameras, xy)
-        dirs_n = directions / jnp.maximum(
-            jnp.linalg.norm(directions, axis=-1, keepdims=True), 1e-12)
-
-        depths = jnp.linspace(self.min_depth, self.max_depth,
-                              self.n_pts_per_ray, dtype=jnp.float32)
-        depths = jnp.broadcast_to(depths,
-                                  (b, xy.shape[1], self.n_pts_per_ray))
-        do_stratify = (self.stratified and train) or \
-            (self.stratified_test and not train)
-        if do_stratify:
-            depths = stratify_depths(self.make_rng("depth"), depths)
-
+    def _render_core(self, rad_field, origins, dirs_n, depths, z,
+                     fine_key, do_stratify: bool, **deform_kwargs):
+        """Coarse+fine render of one set of rays. ``rad_field`` is a callable
+        (pts, dirs, z, **kw) → (densities, colors)."""
         # ---- coarse pass
         pts = origins[:, :, None, :] + depths[..., None] * dirs_n[:, :, None, :]
-        dens_c, cols_c = self.rad_field(pts, dirs_n, z, **deform_kwargs)
+        dens_c, cols_c = rad_field(pts, dirs_n, z, **deform_kwargs)
         rgba_c, weights_c = ea_raymarch(
             dens_c.astype(jnp.float32), cols_c.astype(jnp.float32),
             self.white_bg)
@@ -205,8 +188,7 @@ class RadianceFieldRenderer(nn.Module):
         # (raysampler.py:110-164); samples detach from the coarse graph
         mids = 0.5 * (depths[..., 1:] + depths[..., :-1])
         z_samples = sample_pdf(
-            self.make_rng("fine") if do_stratify else jax.random.PRNGKey(0),
-            mids, jax.lax.stop_gradient(weights_c[..., 1:-1]),
+            fine_key, mids, jax.lax.stop_gradient(weights_c[..., 1:-1]),
             self.n_pts_per_ray_fine, det=not do_stratify)
         z_samples = jax.lax.stop_gradient(z_samples)
         # gather-gradient sort: jnp.sort's scatter VJP costs more than the
@@ -215,9 +197,73 @@ class RadianceFieldRenderer(nn.Module):
         depths_f = sort_last(jnp.concatenate([depths, z_samples], axis=-1))
         pts_f = origins[:, :, None, :] + \
             depths_f[..., None] * dirs_n[:, :, None, :]
-        dens_f, cols_f = self.rad_field(pts_f, dirs_n, z, **deform_kwargs)
+        dens_f, cols_f = rad_field(pts_f, dirs_n, z, **deform_kwargs)
         rgba_f, _ = ea_raymarch(
             dens_f.astype(jnp.float32), cols_f.astype(jnp.float32),
             self.white_bg)
+        return rgba_f
 
+    def __call__(self, z, cameras: OrthographicCameras, rays_xy,
+                 train: bool = True, **deform_kwargs):
+        """rays_xy: (B, H, W, 2) or (B, N, 2) NDC grid → (B, H, W, 4) or
+        (B, N, 4) fine RGBA.
+
+        When the ray count exceeds ``chunk_size`` the rays are processed in
+        ``lax.map`` tiles — the TPU-native replacement for the reference's
+        python chunk loop (core/nerf/nerf_renderer.py:188-203): same HBM
+        bound, but a single compiled computation with no per-chunk host
+        round-trips."""
+        b = z.shape[0]
+        spatial = rays_xy.shape[1:-1]
+        xy = rays_xy.reshape(b, -1, 2).astype(jnp.float32)
+        n_rays = xy.shape[1]
+
+        origins, directions = world_rays_from_ndc(cameras, xy)
+        dirs_n = directions / jnp.maximum(
+            jnp.linalg.norm(directions, axis=-1, keepdims=True), 1e-12)
+
+        depths = jnp.linspace(self.min_depth, self.max_depth,
+                              self.n_pts_per_ray, dtype=jnp.float32)
+        depths = jnp.broadcast_to(depths, (b, n_rays, self.n_pts_per_ray))
+        do_stratify = (self.stratified and train) or \
+            (self.stratified_test and not train)
+        if do_stratify:
+            depths = stratify_depths(self.make_rng("depth"), depths)
+        fine_key = (self.make_rng("fine") if do_stratify
+                    else jax.random.PRNGKey(0))
+
+        chunk = int(self.chunk_size) if self.chunk_size else 0
+        if self.is_initializing() or chunk <= 0 or n_rays <= chunk:
+            rgba_f = self._render_core(self.rad_field, origins, dirs_n,
+                                       depths, z, fine_key, do_stratify,
+                                       **deform_kwargs)
+            return rgba_f.reshape((b,) + spatial + (4,))
+
+        # ---- tiled path: lax.map over ray tiles of chunk_size
+        rf_mod, rf_vars = self.rad_field.unbind()
+
+        def rf_apply(pts, dirs, zz, **kw):
+            return rf_mod.apply(rf_vars, pts, dirs, zz, **kw)
+
+        n_tiles = -(-n_rays // chunk)
+        pad = n_tiles * chunk - n_rays
+
+        def tile_axes(x):  # (b, N, ...) → (T, b, chunk, ...)
+            xp = jnp.concatenate(
+                [x, jnp.zeros((b, pad) + x.shape[2:], x.dtype)], axis=1) \
+                if pad else x
+            xp = xp.reshape(b, n_tiles, chunk, *x.shape[2:])
+            return jnp.moveaxis(xp, 1, 0)
+
+        tiles = (tile_axes(origins), tile_axes(dirs_n), tile_axes(depths),
+                 jax.random.split(fine_key, n_tiles))
+
+        def render_tile(args):
+            o_t, d_t, dep_t, key_t = args
+            return self._render_core(rf_apply, o_t, d_t, dep_t, z, key_t,
+                                     do_stratify, **deform_kwargs)
+
+        rgba_tiles = jax.lax.map(render_tile, tiles)       # (T, b, chunk, 4)
+        rgba_f = jnp.moveaxis(rgba_tiles, 0, 1).reshape(b, n_tiles * chunk, 4)
+        rgba_f = rgba_f[:, :n_rays]
         return rgba_f.reshape((b,) + spatial + (4,))

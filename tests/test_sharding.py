@@ -56,3 +56,32 @@ def test_data_parallel_superstep_8dev():
                      jax.random.PRNGKey(1))
     np.testing.assert_allclose(float(m1["d_loss"]), float(metrics["d_loss"]),
                                rtol=2e-3)
+
+
+def test_batchnorm_is_global_batch_under_mesh():
+    """DOCUMENTED DEVIATION (COMPONENTS.md): under jit-with-sharded-batch,
+    nn.BatchNorm statistics are computed over the GLOBAL batch (XLA inserts
+    the all-reduce) — i.e. synced BN, unlike the reference's per-replica DDP
+    stats (PL sync_batchnorm defaults off). This test pins that semantic:
+    the updated running mean equals the global batch mean regardless of how
+    the batch is sharded."""
+    from flax import linen as nn
+
+    bn = nn.BatchNorm(use_running_average=False, momentum=0.0)
+    x = jnp.asarray(np.random.default_rng(0).normal(
+        size=(16, 4, 4, 3)).astype(np.float32))
+    variables = bn.init(jax.random.PRNGKey(0), x)
+
+    mesh = pmesh.make_mesh(8)
+    xs = jax.device_put(x, jax.sharding.NamedSharding(
+        mesh, jax.sharding.PartitionSpec("data")))
+    vs = jax.device_put(variables, pmesh.replicated(mesh))
+
+    @jax.jit
+    def run(v, inp):
+        _, upd = bn.apply(v, inp, mutable=["batch_stats"])
+        return upd["batch_stats"]["mean"]
+
+    mean_sharded = np.asarray(run(vs, xs))
+    global_mean = np.asarray(x).mean(axis=(0, 1, 2))
+    np.testing.assert_allclose(mean_sharded, global_mean, atol=1e-5)
