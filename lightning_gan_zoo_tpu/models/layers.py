@@ -186,6 +186,25 @@ def avg_pool2(x):
     return nn.avg_pool(x, (2, 2), strides=(2, 2))
 
 
+def avg_pool_mxu(x, window: int = 3, stride: int = 2, pad: int = 1):
+    """Average pooling as a diagonal-kernel dense conv on the MXU.
+
+    XLA lowers reduce-window pooling to the VPU; at the R1 config's shapes
+    the five AvgPool(3,s2,p1) stages cost 14% of the whole superstep
+    (trace-measured, tools/profile_superstep.py). The identical math as a
+    stride-2 conv with W[u,v,ci,co] = δ(ci,co)/window² is ~1% of model FLOPs
+    and rides the MXU. count_include_pad=True semantics (zero pads count in
+    the divisor) match torch AvgPool2d(3,2,1) — reference resnet.py:74-80.
+    """
+    c = x.shape[-1]
+    eye = jnp.eye(c, dtype=x.dtype) / float(window * window)
+    kernel = jnp.broadcast_to(eye, (window, window, c, c))
+    return jax.lax.conv_general_dilated(
+        x, kernel, window_strides=(stride, stride),
+        padding=[(pad, pad), (pad, pad)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+
 def upsample2_nearest(x):
     """Nearest-neighbour ×2 upsample (torch nn.Upsample(scale_factor=2))."""
     n, h, w, c = x.shape

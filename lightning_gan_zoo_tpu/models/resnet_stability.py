@@ -17,7 +17,7 @@ from typing import Any, Optional
 import jax.numpy as jnp
 from flax import linen as nn
 
-from .layers import avg_pool2, conv_init, upsample2_nearest
+from .layers import avg_pool_mxu, conv_init, upsample2_nearest
 
 
 def actvn(x):
@@ -98,10 +98,9 @@ class Discriminator(nn.Module):
         h = ResnetBlock(fout=nf, dtype=self.dtype)(h)
         for i in range(nlayers):
             f_out = min(nf * 2 ** (i + 1), nf_max)
-            # torch AvgPool2d(3, stride=2, padding=1)
-            h = nn.avg_pool(h, (3, 3), strides=(2, 2),
-                            padding=[(1, 1), (1, 1)],
-                            count_include_pad=True)
+            # torch AvgPool2d(3, stride=2, padding=1), as an MXU conv
+            # (reduce-window pooling measured at 14% of the superstep)
+            h = avg_pool_mxu(h, window=3, stride=2, pad=1)
             h = ResnetBlock(fout=f_out, dtype=self.dtype)(h)
         h = h.reshape(x.shape[0], -1)
         out = nn.Dense(self.nlabels, dtype=self.dtype)(actvn(h))

@@ -90,6 +90,26 @@ def r1_penalty(d_fn: Callable[[Array], Array], real: Array) -> Array:
     return jnp.mean(compute_grad2(d_fn, real))
 
 
+def r1_penalty_and_logits(d_fn: Callable[[Array], Array],
+                          real: Array) -> tuple[Array, Array]:
+    """(mean R1 penalty, D(real) logits) from ONE forward pass.
+
+    The reference computes D(real) once and reuses the same graph for the
+    BCE term and the R1 gradient (lightning_module.py:140-146 +
+    utils.py:60-69, create_graph=True); sharing the linearization here
+    matches that and saves a full discriminator pass per step.
+    """
+    real = real.astype(jnp.float32)
+
+    def scalar_out(xx):
+        out = d_fn(xx).astype(jnp.float32)
+        return jnp.sum(out), out
+
+    grad_x, d_real = jax.grad(scalar_out, has_aux=True)(real)
+    reg = jnp.sum(jnp.square(grad_x).reshape(real.shape[0], -1), axis=1)
+    return jnp.mean(reg), d_real
+
+
 def gradient_penalty(d_fn: Callable[[Array], Array], real: Array,
                      fake: Array, rng: Array) -> Array:
     """WGAN-GP penalty E[(||∇D(x̂)||₂ − 1)²] on x̂ = α·real + (1−α)·fake.

@@ -52,27 +52,30 @@ class DCGAN(GANTask):
 class GANStabilityR1(DCGAN):
     """BCE + R1 penalty on reals (lightning_module.py:130-156). The penalty is
     cfg.loss_weight.reg × mean ||∇_x D(x)||² and the BCE terms are NOT halved
-    (:147). Penalty branch runs the fp32 twin of D."""
+    (:147).
+
+    D(real) runs ONCE, through the fp32 twin of D, serving both the BCE-real
+    term and the R1 gradient — exactly the reference's graph shape
+    (:140-146 reuses disc_real for both; one forward, one create_graph
+    backward)."""
 
     def disc_loss(self, d_params, g_params, g_state, d_state, batch, z, rng,
                   extra):
         real = batch["image"]
         fake, g_state = apply_model(self.generator, g_params, g_state, z)
         fake = jax.lax.stop_gradient(fake)
-        real = real.astype(self.dtype)
-        d_real, d_state = apply_model(self.discriminator, d_params, d_state,
-                                      real)
-        d_fake, d_state = apply_model(self.discriminator, d_params, d_state,
-                                      fake.astype(self.dtype))
-        bce = (L.bce_with_logits(d_real, jnp.ones_like(d_real))
-               + L.bce_with_logits(d_fake, jnp.zeros_like(d_fake)))
 
         def d_fn(x):
             out, _ = apply_model(self.discriminator_hp, d_params, d_state, x,
                                  mutable=False)
             return out
 
-        r1 = float(self.cfg.loss_weight.reg) * L.r1_penalty(d_fn, real)
+        r1_raw, d_real = L.r1_penalty_and_logits(d_fn, real)
+        d_fake, d_state = apply_model(self.discriminator, d_params, d_state,
+                                      fake.astype(self.dtype))
+        bce = (L.bce_with_logits(d_real, jnp.ones_like(d_real))
+               + L.bce_with_logits(d_fake, jnp.zeros_like(d_fake)))
+        r1 = float(self.cfg.loss_weight.reg) * r1_raw
         loss = r1 + bce
         return loss, {"metrics": _metrics(d_loss=loss, r1=r1),
                       "g_state": g_state, "d_state": d_state}

@@ -80,3 +80,28 @@ def test_interpolate_sphere_endpoints():
     z2 = jnp.asarray(rng.normal(size=(4, 8)), jnp.float32)
     assert np.allclose(L.interpolate_sphere(z1, z2, 0.0), z1, atol=1e-4)
     assert np.allclose(L.interpolate_sphere(z1, z2, 1.0), z2, atol=1e-4)
+
+
+def test_r1_penalty_and_logits_shared_forward():
+    """Shared-linearization variant returns the same penalty as r1_penalty
+    and the same logits as a direct forward."""
+    w = jnp.arange(1.0, 9.0).reshape(2, 4) / 7.0
+
+    def d_fn(x):
+        return x.reshape(x.shape[0], -1) @ w.reshape(-1)
+
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(5, 2, 4)),
+                    jnp.float32)
+    pen, logits = L.r1_penalty_and_logits(d_fn, x)
+    assert np.allclose(pen, L.r1_penalty(d_fn, x), rtol=1e-6)
+    assert np.allclose(logits, d_fn(x), rtol=1e-6)
+
+    # double-backward still flows into parameters
+    def loss(ww):
+        def d(xx):
+            return xx.reshape(xx.shape[0], -1) @ ww
+        p, out = L.r1_penalty_and_logits(d, jnp.ones((2, 4)))
+        return p + jnp.sum(out) * 0.0
+
+    w0 = jnp.array([1.0, 2.0, 3.0, 4.0])
+    assert np.allclose(jax.grad(loss)(w0), 2 * w0, rtol=1e-5)

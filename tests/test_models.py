@@ -170,3 +170,40 @@ def test_spectral_norm_gradient_matches_torch():
     np.testing.assert_allclose(
         np.transpose(np.asarray(g), (3, 2, 0, 1)), tgrad,
         rtol=2e-4, atol=2e-4)
+
+
+def test_avg_pool_mxu_matches_reduce_window():
+    """avg_pool_mxu (diagonal-kernel conv) must equal nn.avg_pool with
+    count_include_pad=True at every R1 stage shape."""
+    from flax import linen as nn
+    from lightning_gan_zoo_tpu.models.layers import avg_pool_mxu
+
+    rng = np.random.default_rng(7)
+    for h, c in [(128, 16), (64, 32), (9, 64), (8, 256)]:
+        x = jnp.asarray(rng.normal(size=(2, h, h, c)).astype(np.float32))
+        want = nn.avg_pool(x, (3, 3), strides=(2, 2),
+                           padding=[(1, 1), (1, 1)], count_include_pad=True)
+        got = avg_pool_mxu(x, window=3, stride=2, pad=1)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=1e-5)
+
+
+def test_conv_s2d_equals_plain_conv():
+    """Space-to-depth conv oracle (ops/space_to_depth.py — documented
+    negative perf result, kept correctness-pinned)."""
+    from lightning_gan_zoo_tpu.ops.space_to_depth import (
+        conv_s2d, depth_to_space, space_to_depth)
+
+    rng = np.random.default_rng(11)
+    for (h, ci, co, k) in [(16, 16, 16, 3), (8, 4, 8, 3), (12, 5, 7, 5),
+                           (8, 2, 3, 1)]:
+        x = jnp.asarray(rng.normal(size=(2, h, h, ci)).astype(np.float32))
+        w = jnp.asarray(rng.normal(size=(k, k, ci, co)).astype(np.float32))
+        want = jax.lax.conv_general_dilated(
+            x, w, (1, 1), [(k // 2,) * 2] * 2,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        np.testing.assert_allclose(np.asarray(conv_s2d(x, w)),
+                                   np.asarray(want), atol=1e-4)
+    x = jnp.asarray(rng.normal(size=(2, 8, 8, 4)).astype(np.float32))
+    np.testing.assert_allclose(
+        np.asarray(depth_to_space(space_to_depth(x))), np.asarray(x))
