@@ -77,7 +77,9 @@ def _fwd_kernel(coords_ref, vox_ref, out_ref, *, d, h, w, c):
     # packing; out: (1, T, C)
     wyx = _plane_weights(coords_ref, h, w).astype(jnp.bfloat16)
     hz = _depth_weights(coords_ref, d)
-    u = jnp.dot(wyx, vox_ref[0].astype(jnp.bfloat16),
+    # vox arrives pre-cast to bf16 (halves the HBM→VMEM stream and avoids
+    # a (H·W, D·C) cast per point tile)
+    u = jnp.dot(wyx, vox_ref[0],
                 preferred_element_type=jnp.float32)     # (T, D·C) full-lane
     acc = hz[:, 0:1] * u[:, 0:c]
     for k in range(1, d):
@@ -85,18 +87,32 @@ def _fwd_kernel(coords_ref, vox_ref, out_ref, *, d, h, w, c):
     out_ref[0] = acc
 
 
+def _plane_weights_t(coords_ref, h, w):
+    """(H·W, T) bilinear hat weights, built directly transposed so the
+    backward's contraction over T needs no in-kernel transpose of wyx."""
+    x = coords_ref[0, 0, :]
+    y = coords_ref[0, 1, :]
+    t = x.shape[0]
+    j = jax.lax.broadcasted_iota(jnp.int32, (h * w, t), 0)
+    jx = (j % w).astype(jnp.float32)
+    jy = (j // w).astype(jnp.float32)
+    xc = jnp.clip(x, 0.0, w - 1.0)
+    yc = jnp.clip(y, 0.0, h - 1.0)
+    return (jnp.maximum(0.0, 1.0 - jnp.abs(xc[None, :] - jx))
+            * jnp.maximum(0.0, 1.0 - jnp.abs(yc[None, :] - jy)))
+
+
 def _bwd_kernel(coords_ref, g_ref, dvox_ref, acc, *, d, h, w, c, n_tiles):
     # grid: (B, n_tiles); accumulate wyxᵀ @ G₂ over point tiles into scratch;
     # G₂ packs the z-hat-scaled cotangent: G₂[t, k·C+c] = hz[t,k]·g[t,c]
     t_idx = pl.program_id(1)
-    wyx = _plane_weights(coords_ref, h, w).astype(jnp.bfloat16)
+    wyx_t = _plane_weights_t(coords_ref, h, w).astype(jnp.bfloat16)
     hz = _depth_weights(coords_ref, d)
     g = g_ref[0].astype(jnp.float32)                    # (T, C)
     g2 = jnp.concatenate([hz[:, k:k + 1] * g for k in range(d)],
                          axis=1).astype(jnp.bfloat16)   # (T, D·C)
-    contrib = jax.lax.dot_general(
-        wyx, g2, dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)             # (H·W, D·C)
+    contrib = jnp.dot(wyx_t, g2,
+                      preferred_element_type=jnp.float32)  # (H·W, D·C)
 
     @pl.when(t_idx == 0)
     def _():
@@ -125,7 +141,7 @@ def _vox_to_plane_major(voxels):
     plane; z stays as C-sized lane groups mixed by the hat weights."""
     b, d, h, w, c = voxels.shape
     v = jnp.transpose(voxels, (0, 2, 3, 1, 4))          # (B, H, W, D, C)
-    return v.reshape(b, h * w, d * c).astype(jnp.float32)
+    return v.reshape(b, h * w, d * c).astype(jnp.bfloat16)
 
 
 def _forward(voxels, coords, *, interpret=False):
