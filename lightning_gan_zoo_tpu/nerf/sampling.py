@@ -73,18 +73,28 @@ def sample_pdf(rng: jax.Array, bins: jax.Array, weights: jax.Array,
         u = jax.random.uniform(rng, cdf.shape[:-1] + (n_samples,),
                                dtype=cdf.dtype)
 
-    # batched searchsorted-right: count cdf entries ≤ u. The bin axis is
-    # tiny (≤ n_pts+1), so the dense comparison is cheaper on TPU than a
-    # sorted-search loop.
-    inds = jnp.sum((cdf[..., None, :] <= u[..., :, None]).astype(jnp.int32),
-                   axis=-1)
-    below = jnp.clip(inds - 1, 0, cdf.shape[-1] - 1)
-    above = jnp.clip(inds, 0, cdf.shape[-1] - 1)
+    # batched searchsorted-right as a dense comparison (the bin axis is
+    # tiny, ≤ n_pts+1) — and the below/above values extracted WITHOUT
+    # gathers: take_along_axis here was 32% of the whole π-GAN superstep
+    # (trace, tools/profile_superstep.py; dynamic gathers are pathological
+    # on this stack). The last-True position of the mask is the one-hot of
+    # `below` via m & ~m_next, so all four lookups become tiny-axis
+    # weighted reductions on the VPU.
+    m = cdf[..., None, :] <= u[..., :, None]           # (..., S, B+1)
+    m_next = jnp.concatenate(
+        [m[..., 1:], jnp.zeros_like(m[..., :1])], axis=-1)
+    oh_below = jnp.logical_and(m, ~m_next).astype(cdf.dtype)
+    # above = below + 1, clipped to the last bin edge
+    shifted = jnp.concatenate(
+        [jnp.zeros_like(oh_below[..., :1]), oh_below[..., :-1]], axis=-1)
+    oh_above = jnp.concatenate(
+        [shifted[..., :-1], shifted[..., -1:] + oh_below[..., -1:]],
+        axis=-1)
 
-    cdf_below = jnp.take_along_axis(cdf, below, axis=-1)
-    cdf_above = jnp.take_along_axis(cdf, above, axis=-1)
-    bins_below = jnp.take_along_axis(bins, below, axis=-1)
-    bins_above = jnp.take_along_axis(bins, above, axis=-1)
+    cdf_below = jnp.einsum("...sj,...j->...s", oh_below, cdf)
+    cdf_above = jnp.einsum("...sj,...j->...s", oh_above, cdf)
+    bins_below = jnp.einsum("...sj,...j->...s", oh_below, bins)
+    bins_above = jnp.einsum("...sj,...j->...s", oh_above, bins)
 
     denom = cdf_above - cdf_below
     denom = jnp.where(denom < eps, jnp.ones_like(denom), denom)

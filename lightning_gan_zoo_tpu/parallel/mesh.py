@@ -56,6 +56,22 @@ def put_replicated(tree: Any, mesh: Mesh) -> Any:
     return jax.device_put(tree, rep)
 
 
+def put_batch(tree: Any, mesh: Mesh, *, stacked: bool = True) -> Any:
+    """Stage a host-local batch onto the mesh's batch sharding.
+
+    Single-process: plain device_put. Multi-process (LGZT_MULTIHOST — the
+    reference's DistributedSampler counterpart): every process holds only
+    its stripe of the global batch (data/pipeline.EpochLoader stripes by
+    process_index), and the global array is assembled from the per-process
+    shards without any cross-host copy."""
+    sh = batch_sharding(mesh, stacked=stacked)
+    if jax.process_count() == 1:
+        return jax.device_put(tree, sh)
+    return jax.tree.map(
+        lambda x: jax.make_array_from_process_local_data(sh, np.asarray(x)),
+        tree)
+
+
 def is_main_process() -> bool:
     """rank_zero_only equivalent (reference figures/types.py:61)."""
     return jax.process_index() == 0

@@ -236,16 +236,17 @@ class Trainer:
             step_fn = self._get_step_fn()
             epoch_metrics: Dict[str, list] = {}
             t_epoch = time.perf_counter()
-            bsharding = pmesh.batch_sharding(self.mesh)
             step_counter = int(self.state.step)
             micro_per_super = loader.n_micro
 
             def staged(it):
-                """One-batch lookahead: device_put the next batch while the
-                current superstep runs (H2D overlaps compute)."""
+                """One-batch lookahead: stage the next batch while the
+                current superstep runs (H2D overlaps compute). Multi-process
+                runs assemble the global batch from per-process stripes
+                (pmesh.put_batch)."""
                 prev = None
                 for b in it:
-                    b = jax.device_put(b, bsharding)
+                    b = pmesh.put_batch(b, self.mesh)
                     if prev is not None:
                         yield prev
                     prev = b

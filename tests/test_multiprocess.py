@@ -1,0 +1,135 @@
+"""True multi-process (multi-host) data parallelism, exercised for real:
+two JAX processes with 4 virtual CPU devices each form one 8-device global
+mesh via jax.distributed, each contributes its stripe of the global batch
+(pmesh.put_batch ← make_array_from_process_local_data), and one superstep
+runs with XLA's cross-process psum. The loss must match a single-process
+8-device run of the same global batch — the reference's DDP contract
+(run_network.py:66, one process per GPU, NCCL all-reduce)."""
+import os
+import socket
+import subprocess
+import sys
+import textwrap
+
+import numpy as np
+import pytest
+
+from tests.conftest import REPO_ROOT
+
+WORKER = textwrap.dedent("""
+    import os, sys
+    sys.path.insert(0, os.environ["LGZT_REPO"])
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    jax.distributed.initialize(
+        coordinator_address=os.environ["LGZT_COORD"],
+        num_processes=2, process_id=int(os.environ["LGZT_PID"]))
+    import jax.numpy as jnp
+    import numpy as np
+    from lightning_gan_zoo_tpu.config import compose
+    from lightning_gan_zoo_tpu.config.registry import instantiate
+    from lightning_gan_zoo_tpu.parallel import mesh as pmesh
+    from lightning_gan_zoo_tpu.runtime.state import create_train_state
+    from lightning_gan_zoo_tpu.runtime.steps import (build_superstep,
+                                                     microbatch_count)
+
+    assert jax.process_count() == 2
+    assert jax.device_count() == 8 and len(jax.local_devices()) == 4
+
+    cfg = compose(os.environ["LGZT_REPO"] + "/conf",
+                  ["+expt=dc_gan", "dataset=synthetic", "calc_fid=False",
+                   "save_ckpts=False", "precision=32", "train.img_size=16",
+                   "train.batch_size=16", "train.features_disc=8",
+                   "train.features_gen=8", "model.noise_dim=16"])
+    task = instantiate(cfg.model.lm, cfg, "/tmp/lgzt_mp")
+    mesh = pmesh.make_mesh(8)
+    d_tx, g_tx = task.configure_optimizers(steps_per_epoch=4)
+    g_vars, d_vars = task.init(jax.random.PRNGKey(0))
+    state = pmesh.put_replicated(
+        create_train_state(g_vars, d_vars, g_tx, d_tx,
+                           extra=task.initial_extra()), mesh)
+    step = pmesh.shard_superstep(
+        build_superstep(task, g_tx, d_tx, 1, 1), mesh, donate_state=False)
+
+    # deterministic GLOBAL batch; this process contributes its half
+    # (the EpochLoader's process striping contract)
+    n_micro = microbatch_count(1, 1)
+    full = np.random.default_rng(0).normal(
+        size=(n_micro, 16, 16, 16, 3)).astype(np.float32) * 0.5
+    pid = jax.process_index()
+    local = {"image": full[:, pid * 8:(pid + 1) * 8],
+             "label": np.zeros((n_micro, 8), np.int32)}
+    batch = pmesh.put_batch(local, mesh)
+    new_state, metrics = step(state, batch, jax.random.PRNGKey(1))
+    print(f"MPLOSS {float(metrics['d_loss']):.6f} "
+          f"{float(metrics['g_loss']):.6f}", flush=True)
+""")
+
+
+@pytest.mark.slow
+def test_two_process_data_parallel(tmp_path):
+    port = socket.socket()
+    port.bind(("localhost", 0))
+    coord = f"localhost:{port.getsockname()[1]}"
+    port.close()
+
+    worker_py = tmp_path / "worker.py"
+    worker_py.write_text(WORKER)
+    procs = []
+    for pid in (0, 1):
+        env = dict(os.environ)
+        env.pop("PALLAS_AXON_POOL_IPS", None)
+        env["JAX_PLATFORMS"] = "cpu"
+        env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+        env["LGZT_COORD"] = coord
+        env["LGZT_PID"] = str(pid)
+        env["LGZT_REPO"] = str(REPO_ROOT)
+        env.setdefault("JAX_COMPILATION_CACHE_DIR",
+                       os.path.expanduser("~/.cache/jax"))
+        procs.append(subprocess.Popen(
+            [sys.executable, str(worker_py)], env=env,
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True))
+    outs = [p.communicate(timeout=600) for p in procs]
+    for p, (out, err) in zip(procs, outs):
+        assert p.returncode == 0, f"worker failed:\n{out}\n{err[-3000:]}"
+    losses = [[float(v) for v in out.splitlines()[-1].split()[1:]]
+              for out, _ in outs
+              if any(ln.startswith("MPLOSS") for ln in out.splitlines())]
+    assert len(losses) == 2
+    np.testing.assert_allclose(losses[0], losses[1], rtol=1e-5)
+
+    # single-process 8-device reference run of the SAME global batch
+    import jax
+    import jax.numpy as jnp
+    from tests.conftest import CONF_DIR
+    from lightning_gan_zoo_tpu.config import compose
+    from lightning_gan_zoo_tpu.config.registry import instantiate
+    from lightning_gan_zoo_tpu.parallel import mesh as pmesh
+    from lightning_gan_zoo_tpu.runtime.state import create_train_state
+    from lightning_gan_zoo_tpu.runtime.steps import (build_superstep,
+                                                     microbatch_count)
+
+    cfg = compose(CONF_DIR, ["+expt=dc_gan", "dataset=synthetic",
+                             "calc_fid=False", "save_ckpts=False",
+                             "precision=32", "train.img_size=16",
+                             "train.batch_size=16", "train.features_disc=8",
+                             "train.features_gen=8", "model.noise_dim=16"])
+    task = instantiate(cfg.model.lm, cfg, "/tmp/lgzt_mp_ref")
+    mesh = pmesh.make_mesh(8)
+    d_tx, g_tx = task.configure_optimizers(steps_per_epoch=4)
+    g_vars, d_vars = task.init(jax.random.PRNGKey(0))
+    state = pmesh.put_replicated(
+        create_train_state(g_vars, d_vars, g_tx, d_tx,
+                           extra=task.initial_extra()), mesh)
+    step = pmesh.shard_superstep(
+        build_superstep(task, g_tx, d_tx, 1, 1), mesh, donate_state=False)
+    n_micro = microbatch_count(1, 1)
+    full = np.random.default_rng(0).normal(
+        size=(n_micro, 16, 16, 16, 3)).astype(np.float32) * 0.5
+    batch = pmesh.put_batch({"image": jnp.asarray(full),
+                             "label": jnp.zeros((n_micro, 16), jnp.int32)},
+                            mesh)
+    _, metrics = step(state, batch, jax.random.PRNGKey(1))
+    np.testing.assert_allclose(
+        losses[0], [float(metrics["d_loss"]), float(metrics["g_loss"])],
+        rtol=2e-4)
