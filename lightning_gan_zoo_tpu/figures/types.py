@@ -86,7 +86,11 @@ class Figure:
     def draw_and_save(self, ctx: FigureContext):
         if not is_main_process():
             return
-        self._write(self.draw(ctx), self._out_path(ctx))
+        artefact = self.draw(ctx)
+        self._write(artefact, self._out_path(ctx))
+        # retained so the trainer can mirror fresh artifacts to TensorBoard
+        self.last_artefact = artefact
+        self.last_drawn_epoch = ctx.epoch
 
     def on_validation_end(self, ctx: FigureContext,
                           metrics: Dict[str, float]):

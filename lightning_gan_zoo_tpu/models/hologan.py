@@ -121,8 +121,15 @@ def rigid_transform_volume(voxels: jax.Array, view: jax.Array,
     # homogeneous output grid, (x, y, z) over (W, H, D)
     zz, yy, xx = jnp.meshgrid(jnp.arange(new_size), jnp.arange(new_size),
                               jnp.arange(new_size), indexing="ij")
+    out = _warp_resample(voxels, inv, (xx, yy, zz), new_size ** 3, resample)
+    return out.reshape(b, new_size, new_size, new_size, voxels.shape[-1]
+                       ).astype(voxels.dtype)
+
+
+def _warp_resample(voxels, inv, xyz_grid, n, resample):
+    xx, yy, zz = xyz_grid
     grid = jnp.stack([xx.reshape(-1), yy.reshape(-1), zz.reshape(-1),
-                      jnp.ones(new_size ** 3)], axis=0).astype(jnp.float32)
+                      jnp.ones(n)], axis=0).astype(jnp.float32)
     warped = inv @ grid[None]                      # (B, 4, N)
     coords = jnp.moveaxis(warped[:, :3, :], 1, 2)  # (B, N, 3) = (x, y, z)
     use_mxu = resample == "mxu" or (resample == "auto"
@@ -130,11 +137,32 @@ def rigid_transform_volume(voxels: jax.Array, view: jax.Array,
     if use_mxu:
         # gathers serialise on TPU; the matmul formulation runs on the MXU
         from ..ops.pallas.trilinear import trilinear_resample_mxu
-        out = trilinear_resample_mxu(voxels.astype(jnp.float32), coords)
-    else:
-        out = trilinear_resample(voxels.astype(jnp.float32), coords)
-    return out.reshape(b, new_size, new_size, new_size, voxels.shape[-1]
-                       ).astype(voxels.dtype)
+        return trilinear_resample_mxu(voxels.astype(jnp.float32), coords)
+    return trilinear_resample(voxels.astype(jnp.float32), coords)
+
+
+def rigid_transform_project(voxels: jax.Array, view: jax.Array,
+                            size: int = 16, new_size: int = 16,
+                            resample: str = "auto") -> jax.Array:
+    """rigid_transform_volume fused with the projection unit's
+    flip-depth + collapse-depth-into-channels (hologan_generator.py:130-133):
+    the output GRID is ordered (y, x, z-flipped) so the resampled points land
+    directly in the collapsed (B, H, W, D·C) layout — the separate flip /
+    moveaxis / reshape data-formatting passes disappear from the hot path.
+    Equality with the unfused pair is pinned in tests/test_hologan.py."""
+    b = voxels.shape[0]
+    m = _rigid_matrices(view)
+    centroid = jnp.eye(4).at[:3, 3].set(-size * 0.5)
+    centroid_new = jnp.eye(4).at[:3, 3].set(new_size * 0.5)
+    inv = jnp.linalg.inv(centroid_new[None] @ m @ centroid[None])
+
+    # grid ordered (y, x, k) with z = D-1-k (the reference's depth flip)
+    yy, xx, kk = jnp.meshgrid(jnp.arange(new_size), jnp.arange(new_size),
+                              jnp.arange(new_size), indexing="ij")
+    zz = new_size - 1 - kk
+    out = _warp_resample(voxels, inv, (xx, yy, zz), new_size ** 3, resample)
+    return out.reshape(b, new_size, new_size,
+                       new_size * voxels.shape[-1]).astype(voxels.dtype)
 
 
 class GenBlock3D(nn.Module):
@@ -197,14 +225,19 @@ class Generator(nn.Module):
         h = GenBlock3D(f * 2, dtype=self.dtype)(h, z)   # 4³ → 8³
         h = GenBlock3D(f, dtype=self.dtype)(h, z)       # 8³ → 16³
 
-        h = rigid_transform_volume(h, view_in, 16, 16,
-                                   resample=self.resample)
-
-        # projection unit: flip depth, collapse D into channels
-        # (hologan_generator.py:130-133; layout note in module docstring)
-        h = h[:, ::-1]                                   # flip depth axis
-        h = jnp.moveaxis(h, 1, 3)                        # (B, H, W, D, C)
-        h = h.reshape(b, 16, 16, 16 * f)
+        if self.resample == "shear":
+            h = rigid_transform_volume(h, view_in, 16, 16,
+                                       resample=self.resample)
+            # projection unit: flip depth, collapse D into channels
+            # (hologan_generator.py:130-133)
+            h = h[:, ::-1]                               # flip depth axis
+            h = jnp.moveaxis(h, 1, 3)                    # (B, H, W, D, C)
+            h = h.reshape(b, 16, 16, 16 * f)
+        else:
+            # fused transform+flip+collapse (grid reorder — no formatting
+            # passes between the resample kernel and the 1×1 conv)
+            h = rigid_transform_project(h, view_in, 16, 16,
+                                        resample=self.resample)
 
         h = nn.Conv(f * 16, (1, 1), dtype=self.dtype,
                     kernel_init=conv_init)(h)

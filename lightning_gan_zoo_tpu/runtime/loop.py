@@ -134,6 +134,11 @@ class Trainer:
                 pass
         return int(self.cfg.train.batch_size)
 
+    def _ema_decay(self) -> float:
+        """Opt-in G weight EMA (train.ema_decay, 0 = off). Eval/figures/FID
+        then use the EMA twin (state.eval_g_params)."""
+        return float(self.cfg.train.get("ema_decay", 0.0) or 0.0)
+
     def _accum_factor(self) -> int:
         node = self.cfg.get("accumulate_grad_batches", 1)
         if isinstance(node, (int, float)):
@@ -191,7 +196,8 @@ class Trainer:
             disc_freq = int(self.cfg.optimisation.disc_freq)
             gen_freq = int(self.cfg.optimisation.gen_freq)
             raw = build_superstep(self.task, self.g_tx, self.d_tx,
-                                  disc_freq, gen_freq, self._accum_factor())
+                                  disc_freq, gen_freq, self._accum_factor(),
+                                  ema_decay=self._ema_decay())
             self._compiled[key] = pmesh.shard_superstep(raw, self.mesh)
             self._current_key = key
         return self._compiled[key]
@@ -203,7 +209,8 @@ class Trainer:
         self.d_tx, self.g_tx = d_tx, g_tx
         g_vars, d_vars = self.task.init(jax.random.fold_in(self.root_rng, 0))
         state = create_train_state(g_vars, d_vars, g_tx, d_tx,
-                                   extra=self.task.initial_extra())
+                                   extra=self.task.initial_extra(),
+                                   ema=self._ema_decay() > 0)
         resume_path = CheckpointManager.find_ckpt(
             self.cfg.train.get("ckpt_dir"))
         if resume_path is not None:
@@ -307,7 +314,7 @@ class Trainer:
         except FileNotFoundError as e:
             print(f"[val] no val dataset: {e}")
         fake = np.asarray(self.task.generate(
-            self.state.g_params, self.state.g_state, self._fixed_noise,
+            self.state.eval_g_params, self.state.g_state, self._fixed_noise,
             rng=rng))
         self.logger.log_image(
             "Fake", make_grid(unnormalise(fake[..., :3],
@@ -318,7 +325,7 @@ class Trainer:
         # FID / KID
         if self.metrics_eval is not None:
             fid_kid = self.metrics_eval.compute(
-                self.state.g_params, self.state.g_state, rng)
+                self.state.eval_g_params, self.state.g_state, rng)
             metrics.update(fid_kid)
             self.logger.log_scalars(fid_kid, global_step)
             print("  " + " ".join(f"{k}={v:.3f}" for k, v in fid_kid.items()))
@@ -328,7 +335,8 @@ class Trainer:
         fig_metrics = dict(metrics)
         if "fid" not in fig_metrics and "fid_uncalibrated" in fig_metrics:
             fig_metrics["fid"] = fig_metrics["fid_uncalibrated"]
-        ctx = FigureContext(task=self.task, g_params=self.state.g_params,
+        ctx = FigureContext(task=self.task,
+                            g_params=self.state.eval_g_params,
                             g_state=self.state.g_state, cfg=cfg,
                             epoch=self.epoch, rng=rng)
         for fig in self.figures:
@@ -336,6 +344,14 @@ class Trainer:
                 fig.on_validation_end(ctx, fig_metrics)
             except NotImplementedError as e:
                 print(f"[figures] {type(fig).__name__}: {e}")
+            # mirror freshly drawn artifacts to TensorBoard (GIFs: middle
+            # frame) alongside the PNG/GIF files
+            art = getattr(fig, "last_artefact", None)
+            if art is not None and \
+                    getattr(fig, "last_drawn_epoch", None) == self.epoch:
+                frame = art[len(art) // 2] if isinstance(art, list) else art
+                self.logger.log_image(f"figures/{type(fig).__name__}",
+                                      np.asarray(frame), global_step)
 
         # checkpoint (best-FID policy; an uncalibrated FID never names a
         # checkpoint — without calibrated FID keep latest)

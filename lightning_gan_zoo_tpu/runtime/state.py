@@ -9,6 +9,7 @@ from __future__ import annotations
 
 from typing import Any, Dict
 
+import jax
 import jax.numpy as jnp
 from flax import struct
 
@@ -26,9 +27,20 @@ class TrainState(struct.PyTreeNode):
     extra: Dict[str, Any] = struct.field(default_factory=dict)
     # `extra` carries task-specific traced state, e.g. the π-GAN progressive
     # discriminator's fade-in alpha + iteration counter (pigan.py:162-177).
+    #: opt-in exponential moving average of g_params (train.ema_decay > 0);
+    #: None when disabled. The reference carries EMA only in dead vendored
+    #: code (gan_stability/train.py update_average, SURVEY §2.5) — here it
+    #: is a documented quality extra, off by default.
+    g_ema: Any = None
+
+    @property
+    def eval_g_params(self):
+        """Parameters for generation/eval: the EMA twin when enabled."""
+        return self.g_params if self.g_ema is None else self.g_ema
 
 
-def create_train_state(g_vars, d_vars, g_tx, d_tx, extra=None) -> TrainState:
+def create_train_state(g_vars, d_vars, g_tx, d_tx, extra=None,
+                       ema: bool = False) -> TrainState:
     g_vars = dict(g_vars)
     d_vars = dict(d_vars)
     g_params = g_vars.pop("params")
@@ -44,4 +56,5 @@ def create_train_state(g_vars, d_vars, g_tx, d_tx, extra=None) -> TrainState:
         d_steps=jnp.zeros((), jnp.int32),
         step=jnp.zeros((), jnp.int32),
         extra=extra or {},
+        g_ema=jax.tree.map(jnp.copy, g_params) if ema else None,
     )

@@ -30,7 +30,8 @@ def microbatch_count(disc_freq: int, gen_freq: int, accum: int = 1) -> int:
 
 def build_superstep(task, g_tx: optax.GradientTransformation,
                     d_tx: optax.GradientTransformation,
-                    disc_freq: int, gen_freq: int, accum: int = 1
+                    disc_freq: int, gen_freq: int, accum: int = 1,
+                    ema_decay: float = 0.0
                     ) -> Callable[[TrainState, Any, jax.Array],
                                   Tuple[TrainState, Dict[str, jax.Array]]]:
     """Returns superstep(state, batches, rng) -> (state, metrics).
@@ -99,6 +100,10 @@ def build_superstep(task, g_tx: optax.GradientTransformation,
                 updates, new_opt = g_tx.update(grads, s.g_opt, s.g_params)
                 s = s.replace(g_params=optax.apply_updates(s.g_params, updates),
                               g_opt=new_opt, g_steps=s.g_steps + 1)
+                if ema_decay > 0.0 and s.g_ema is not None:
+                    s = s.replace(g_ema=jax.tree.map(
+                        lambda e, p: e * ema_decay + p * (1.0 - ema_decay),
+                        s.g_ema, s.g_params))
 
         metrics = {k: (metric_sums[k] / metric_counts[k]).astype(jnp.float32)
                    for k in metric_sums}

@@ -100,3 +100,19 @@ def test_hologan_generator_and_discriminator():
     assert logit.shape == (2,)
     assert z_pred.shape == (2, 8)
     assert np.all(np.abs(np.asarray(z_pred)) <= 1.0)
+
+
+def test_rigid_transform_project_equals_unfused():
+    """Fused transform+flip+collapse (grid reorder) must equal the unfused
+    rigid_transform_volume -> flip -> moveaxis -> reshape pipeline."""
+    from lightning_gan_zoo_tpu.models.hologan import (
+        rigid_transform_project, rigid_transform_volume, sample_view)
+
+    rng = np.random.default_rng(3)
+    b, d, c = 3, 8, 6
+    vox = jnp.asarray(rng.normal(size=(b, d, d, d, c)).astype(np.float32))
+    view = jnp.asarray(rng.normal(size=(b, 6)).astype(np.float32) * 0.3)
+    vol = rigid_transform_volume(vox, view, d, d, resample="gather")
+    want = jnp.moveaxis(vol[:, ::-1], 1, 3).reshape(b, d, d, d * c)
+    got = rigid_transform_project(vox, view, d, d, resample="gather")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)

@@ -132,3 +132,32 @@ def test_r1_penalty_bf16_agrees_with_f32():
     r16 = float(aux16["metrics"]["r1"])
     r32 = float(aux32["metrics"]["r1"])
     assert r16 == pytest.approx(r32, rel=0.05), (r16, r32)
+
+
+def test_g_ema_tracks_weighted_average():
+    """train.ema_decay>0 keeps an EMA twin of G's params updated after every
+    G optimizer step; eval_g_params returns it. Off by default (g_ema None,
+    zero memory/compute cost)."""
+    cfg, task = make_task("dc_gan")
+    d_tx, g_tx = task.configure_optimizers(4)
+    g_vars, d_vars = task.init(jax.random.PRNGKey(0))
+
+    state0 = create_train_state(g_vars, d_vars, g_tx, d_tx)
+    assert state0.g_ema is None
+    assert state0.eval_g_params is state0.g_params
+
+    decay = 0.9
+    state = create_train_state(g_vars, d_vars, g_tx, d_tx, ema=True)
+    step = jax.jit(build_superstep(task, g_tx, d_tx, 1, 1, ema_decay=decay))
+    batch = {"image": jnp.asarray(
+        np.random.default_rng(0).normal(size=(2, 4, 16, 16, 3)) * 0.5,
+        jnp.float32), "label": jnp.zeros((2, 4), jnp.int32)}
+    new_state, _ = step(state, batch, jax.random.PRNGKey(1))
+
+    # one G update: ema = decay*init + (1-decay)*new
+    want = jax.tree.map(lambda e, p: e * decay + p * (1 - decay),
+                        state.g_params, new_state.g_params)
+    for a, b in zip(jax.tree.leaves(new_state.g_ema),
+                    jax.tree.leaves(want)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+    assert new_state.eval_g_params is new_state.g_ema
