@@ -1,0 +1,115 @@
+"""Serving export: freeze a trained generator into a portable StableHLO
+artifact (`jax.export`).
+
+The reference has no deployment story — generation happens inside the
+Lightning validation loop. For production TPU serving this module bakes a
+task's eval-mode generator (params included as constants) into ONE
+serialized StableHLO blob that any JAX runtime can deserialize and call
+without this framework, its config tree, or its checkpoint code:
+
+    python -m lightning_gan_zoo_tpu.serving.export +expt=dc_gan \\
+        dataset=synthetic serving.batch=8 serving.out=/tmp/g.stablehlo \\
+        [serving.ckpt=/path/to/ckpt_dir]        # best-FID ckpt auto-found
+
+    blob = Path("/tmp/g.stablehlo").read_bytes()
+    g = jax.export.deserialize(blob)
+    images = g.call(z, seed)          # z: (batch, z_dim) f32 · seed: i32[]
+
+The exported callable signature is (z, seed) → images in [-1, 1] NHWC;
+`seed` feeds the generator's internal RNG streams (HoloGAN view sampling,
+π-GAN camera/depth jitter) so stochastic-view models stay stochastic at
+serving time. When a checkpoint is given, the EMA twin of G is used if the
+run trained one (train.ema_decay > 0).
+"""
+from __future__ import annotations
+
+import json
+import sys
+from pathlib import Path
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+from jax import export as jexport
+
+
+def build_exported_generator(task, g_params, g_state, extra, batch: int):
+    """jax.export the task's eval-mode generate() with params baked in."""
+    z_dim = int(task.noise_dim)
+
+    def gen(z, seed):
+        key = jax.random.PRNGKey(seed)
+        return task.generate(g_params, g_state, z, rng=key, extra=extra)
+
+    try:  # multi-platform artifact (runs on TPU serving fleets AND CPU)
+        exp = jexport.export(jax.jit(gen), platforms=("tpu", "cpu"))(
+            jax.ShapeDtypeStruct((batch, z_dim), jnp.float32),
+            jax.ShapeDtypeStruct((), jnp.int32))
+    except Exception:  # a lowering rejects multi-platform → current backend
+        exp = jexport.export(jax.jit(gen))(
+            jax.ShapeDtypeStruct((batch, z_dim), jnp.float32),
+            jax.ShapeDtypeStruct((), jnp.int32))
+    return exp
+
+
+def export_generator(conf_dir, overrides: Sequence[str], batch: int,
+                     out_path, ckpt: Optional[str] = None, seed: int = 0):
+    """Compose the config, (optionally) restore a checkpoint, export G."""
+    from ..config import compose
+    from ..config.registry import instantiate
+    from ..runtime.checkpoint import CheckpointManager
+    from ..runtime.state import create_train_state
+
+    cfg = compose(conf_dir, list(overrides))
+    task = instantiate(cfg.model.lm, cfg, str(Path(out_path).parent))
+    g_vars, d_vars = task.init(jax.random.PRNGKey(seed))
+    extra = task.initial_extra()
+    if ckpt:
+        d_tx, g_tx = task.configure_optimizers(steps_per_epoch=1)
+        template = create_train_state(
+            g_vars, d_vars, g_tx, d_tx, extra=extra,
+            ema=float(cfg.train.get("ema_decay") or 0) > 0)
+        path = CheckpointManager.find_ckpt(ckpt) or Path(ckpt)
+        state, _meta = CheckpointManager(None).restore(path, template)
+        g_params, g_state = state.eval_g_params, state.g_state
+        extra = state.extra
+    else:
+        g_vars = dict(g_vars)
+        g_params = g_vars.pop("params")
+        g_state = g_vars
+
+    exp = build_exported_generator(task, g_params, g_state, extra, batch)
+    blob = exp.serialize()
+    out_path = Path(out_path)
+    out_path.write_bytes(blob)
+    sidecar = {
+        "expt": str(cfg.name), "batch": batch, "z_dim": int(task.noise_dim),
+        "img_size": int(cfg.train.img_size),
+        "call": "images = jax.export.deserialize(blob).call(z, seed)",
+        "platforms": list(exp.platforms),
+    }
+    out_path.with_suffix(out_path.suffix + ".json").write_text(
+        json.dumps(sidecar, indent=2))
+    return out_path, sidecar
+
+
+def main(argv=None):
+    argv = list(sys.argv[1:] if argv is None else argv)
+    serving = {"batch": 8, "out": "generator.stablehlo", "ckpt": None}
+    overrides = []
+    for a in argv:
+        if a.startswith("serving."):
+            k, v = a[len("serving."):].split("=", 1)
+            serving[k] = v
+        else:
+            overrides.append(a)
+    conf_dir = Path(__file__).resolve().parents[2] / "conf"
+    out, sidecar = export_generator(
+        conf_dir, overrides, int(serving["batch"]), serving["out"],
+        ckpt=serving["ckpt"])
+    print(f"exported {sidecar['expt']} generator → {out} "
+          f"({out.stat().st_size/1e6:.1f} MB, platforms={sidecar['platforms']})")
+
+
+if __name__ == "__main__":
+    main()
