@@ -50,6 +50,13 @@ def scoreboard():
             # families at their throughput batch — the row's "batch" field
             # records it
             env.setdefault("BENCH_BATCH", "32")
+        if fam in ("dc_gan", "wgan", "wgan_gp"):
+            # the 2D families' ~5 ms supersteps are dispatch-latency-bound
+            # through the tunnel; fold 8 supersteps per dispatch
+            # (train.fold_steps — a real runtime feature, parity-tested).
+            # dc_gan measured 26.7k -> 45.8k img/s; device trace 51.7k.
+            env.setdefault("BENCH_FOLD", "8")
+            env.setdefault("BENCH_STEPS", "8")
         try:
             proc = subprocess.run(
                 [sys.executable, str(REPO / "bench.py")], env=env,
@@ -114,8 +121,16 @@ def main():
     state = pmesh.put_replicated(
         create_train_state(g_vars, d_vars, g_tx, d_tx,
                            extra=task.initial_extra()), mesh)
-    step = pmesh.shard_superstep(
-        build_superstep(task, g_tx, d_tx, df, gf), mesh, donate_state=True)
+    # BENCH_FOLD: scan K supersteps per dispatch (train.fold_steps
+    # equivalent) — isolates device throughput from host-dispatch latency
+    # (the tunnelled chip pays ~ms per dispatch; real TPU VMs far less)
+    fold = int(os.environ.get("BENCH_FOLD", 1))
+    raw = build_superstep(task, g_tx, d_tx, df, gf)
+    if fold > 1:
+        from lightning_gan_zoo_tpu.runtime.steps import build_folded_superstep
+        raw = build_folded_superstep(raw, fold)
+    step = pmesh.shard_superstep(raw, mesh, donate_state=True,
+                                 folded=fold > 1)
 
     n_micro = microbatch_count(df, gf)
     rng0 = np.random.default_rng(0)
@@ -139,20 +154,30 @@ def main():
             "mask_pred": jnp.asarray(rng0.uniform(
                 size=(n_micro, batch, img, img)).astype(np.float32)),
         }
-    batches = jax.device_put(batches, pmesh.batch_sharding(mesh))
+    if fold > 1:
+        batches = jax.tree.map(
+            lambda x: jnp.broadcast_to(x[None], (fold,) + x.shape), batches)
+
+    def keys(i):
+        if fold > 1:
+            return (jax.random.PRNGKey(i), jnp.int32(0))
+        return jax.random.PRNGKey(i)
+
+    batches = jax.device_put(
+        batches, pmesh.batch_sharding(mesh, folded=fold > 1))
 
     # warm-up / compile; a host transfer (not just block_until_ready) is the
     # only reliable fence through the axon tunnel
-    state, metrics = step(state, batches, jax.random.PRNGKey(0))
+    state, metrics = step(state, batches, keys(0))
     float(metrics["d_loss"])
 
     t0 = time.perf_counter()
     for i in range(steps):
-        state, metrics = step(state, batches, jax.random.PRNGKey(i + 1))
+        state, metrics = step(state, batches, keys(i + 1))
     float(metrics["d_loss"])  # fetch forces the whole dependent chain
     dt = time.perf_counter() - t0
 
-    images_per_step = batch * n_micro  # images consumed per superstep
+    images_per_step = batch * n_micro * fold  # images consumed per dispatch
     ips = images_per_step * steps / dt
     ips_per_chip = ips / n_chips
     name = ("dcgan_celeba" if expt == "dc_gan" else expt)

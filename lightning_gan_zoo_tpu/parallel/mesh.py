@@ -33,16 +33,21 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def batch_sharding(mesh: Mesh, *, stacked: bool = True) -> NamedSharding:
+def batch_sharding(mesh: Mesh, *, stacked: bool = True,
+                   folded: bool = False) -> NamedSharding:
     """Micro-batch-stacked pytrees are [n_micro, batch, ...]: shard the batch
-    axis (axis 1); plain batches shard axis 0."""
+    axis (axis 1); folded megastep batches are [fold, n_micro, batch, ...]
+    (axis 2); plain batches shard axis 0."""
+    if folded:
+        return NamedSharding(mesh, P(None, None, "data"))
     return NamedSharding(mesh, P(None, "data") if stacked else P("data"))
 
 
-def shard_superstep(superstep, mesh: Mesh, donate_state: bool = True):
+def shard_superstep(superstep, mesh: Mesh, donate_state: bool = True,
+                    folded: bool = False):
     """jit the superstep with state replicated and batches data-sharded."""
     rep = replicated(mesh)
-    bsh = batch_sharding(mesh, stacked=True)
+    bsh = batch_sharding(mesh, stacked=True, folded=folded)
     return jax.jit(
         superstep,
         in_shardings=(rep, bsh, rep),
@@ -56,7 +61,8 @@ def put_replicated(tree: Any, mesh: Mesh) -> Any:
     return jax.device_put(tree, rep)
 
 
-def put_batch(tree: Any, mesh: Mesh, *, stacked: bool = True) -> Any:
+def put_batch(tree: Any, mesh: Mesh, *, stacked: bool = True,
+              folded: bool = False) -> Any:
     """Stage a host-local batch onto the mesh's batch sharding.
 
     Single-process: plain device_put. Multi-process (LGZT_MULTIHOST — the
@@ -64,7 +70,7 @@ def put_batch(tree: Any, mesh: Mesh, *, stacked: bool = True) -> Any:
     its stripe of the global batch (data/pipeline.EpochLoader stripes by
     process_index), and the global array is assembled from the per-process
     shards without any cross-host copy."""
-    sh = batch_sharding(mesh, stacked=stacked)
+    sh = batch_sharding(mesh, stacked=stacked, folded=folded)
     if jax.process_count() == 1:
         return jax.device_put(tree, sh)
     return jax.tree.map(

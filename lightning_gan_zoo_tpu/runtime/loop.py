@@ -15,6 +15,7 @@ from pathlib import Path
 from typing import Any, Dict, List
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from ..config.node import Config
@@ -27,7 +28,8 @@ from ..utils.logging import ExperimentLogger
 from ..utils.profiling import StepTimer, TraceCapture
 from .checkpoint import CheckpointManager
 from .state import create_train_state
-from .steps import build_superstep, microbatch_count
+from .steps import (build_folded_superstep, build_superstep,
+                    microbatch_count)
 
 
 def _resolve_version(cfg: Config, output_root: Path) -> str:
@@ -178,12 +180,20 @@ class Trainer:
                             extra=self.task.reset_alpha(self.state.extra))
                     print(f"Training resolution → {res[idx]}")
 
+    def _fold(self) -> int:
+        """train.fold_steps: scan K supersteps into one dispatch (dispatch
+        amortisation; exact-math parity tested). 1 under fast_dev_run."""
+        if bool(self.cfg.debug.get("fast_dev_run", False)):
+            return 1
+        return max(1, int(self.cfg.train.get("fold_steps") or 1))
+
     def _make_train_loader(self) -> EpochLoader:
         ds = instantiate(self.cfg.dataset.train, **_dataset_kwargs(self.cfg))
         disc_freq = int(self.cfg.optimisation.disc_freq)
         gen_freq = int(self.cfg.optimisation.gen_freq)
         n_micro = microbatch_count(disc_freq, gen_freq, self._accum_factor())
-        return EpochLoader(ds, self.current_batch_size, n_micro=n_micro,
+        return EpochLoader(ds, self.current_batch_size,
+                           n_micro=n_micro * self._fold(),
                            seed=self.seed,
                            process_index=jax.process_index(),
                            process_count=jax.process_count())
@@ -191,14 +201,18 @@ class Trainer:
     def _get_step_fn(self):
         """(Re)build + jit the superstep when shape-relevant knobs change."""
         key = (self.current_batch_size, self._accum_factor(),
-               getattr(self.task, "training_resolution", None))
+               getattr(self.task, "training_resolution", None), self._fold())
         if key != self._current_key:
             disc_freq = int(self.cfg.optimisation.disc_freq)
             gen_freq = int(self.cfg.optimisation.gen_freq)
             raw = build_superstep(self.task, self.g_tx, self.d_tx,
                                   disc_freq, gen_freq, self._accum_factor(),
                                   ema_decay=self._ema_decay())
-            self._compiled[key] = pmesh.shard_superstep(raw, self.mesh)
+            fold = self._fold()
+            if fold > 1:
+                raw = build_folded_superstep(raw, fold)
+            self._compiled[key] = pmesh.shard_superstep(raw, self.mesh,
+                                                        folded=fold > 1)
             self._current_key = key
         return self._compiled[key]
 
@@ -245,15 +259,22 @@ class Trainer:
             t_epoch = time.perf_counter()
             step_counter = int(self.state.step)
             micro_per_super = loader.n_micro
+            fold = self._fold()
+            micro_per_sub = micro_per_super // fold
 
             def staged(it):
                 """One-batch lookahead: stage the next batch while the
                 current superstep runs (H2D overlaps compute). Multi-process
                 runs assemble the global batch from per-process stripes
-                (pmesh.put_batch)."""
+                (pmesh.put_batch). With fold_steps > 1 the loader's
+                [fold·n_micro, ...] stack reshapes to [fold, n_micro, ...]."""
                 prev = None
                 for b in it:
-                    b = pmesh.put_batch(b, self.mesh)
+                    if fold > 1:
+                        b = jax.tree.map(
+                            lambda x: x.reshape((fold, micro_per_sub)
+                                                + x.shape[1:]), b)
+                    b = pmesh.put_batch(b, self.mesh, folded=fold > 1)
                     if prev is not None:
                         yield prev
                     prev = b
@@ -262,7 +283,12 @@ class Trainer:
 
             n_steps = 0
             for batch in staged(loader.epoch(self.epoch)):
-                rng = jax.random.fold_in(self.root_rng, step_counter)
+                if fold > 1:
+                    # per-superstep keys derive on device from (root, base) —
+                    # identical to the unfolded loop's fold_in sequence
+                    rng = (self.root_rng, jnp.int32(step_counter))
+                else:
+                    rng = jax.random.fold_in(self.root_rng, step_counter)
                 # no per-step device sync: XLA pipelines supersteps; metrics
                 # stay on device until the epoch ends (one transfer)
                 self.state, metrics = step_fn(self.state, batch, rng)

@@ -111,3 +111,39 @@ def build_superstep(task, g_tx: optax.GradientTransformation,
 
     superstep.n_micro = n_micro  # type: ignore[attr-defined]
     return superstep
+
+
+def build_folded_superstep(superstep, fold: int):
+    """lax.scan ``fold`` supersteps into ONE dispatch (train.fold_steps).
+
+    Dispatch amortisation: the epoch loop normally issues one XLA dispatch
+    per superstep; on hosts where dispatch latency is material (remote-relay
+    TPU, busy host CPU) folding K pre-staged supersteps into a scanned
+    megastep removes K-1 host round-trips with bit-identical math. Batches
+    are stacked [fold, n_micro, batch, ...]; ``rng`` is ``(root_key,
+    base_counter)`` and the per-superstep keys are derived ON DEVICE as
+    ``fold_in(root_key, base + i·n_micro)`` — exactly the keys the unfolded
+    epoch loop computes, without the K tiny host→device key transfers per
+    dispatch that would re-pay the latency being amortised. Metrics return
+    averaged over the fold, matching the epoch-mean the unfolded loop
+    computes.
+    """
+    n_micro_sub = superstep.n_micro
+
+    def folded(state, stacked_batches, rng):
+        root_key, base = rng
+
+        def body(s, xs):
+            b, i = xs
+            key = jax.random.fold_in(root_key, base + i * n_micro_sub)
+            s, m = superstep(s, b, key)
+            return s, m
+
+        state, ms = jax.lax.scan(
+            body, state,
+            (stacked_batches, jnp.arange(fold, dtype=jnp.int32)))
+        return state, jax.tree.map(lambda m: m.mean(0), ms)
+
+    folded.n_micro = superstep.n_micro * fold  # type: ignore[attr-defined]
+    folded.fold = fold  # type: ignore[attr-defined]
+    return folded

@@ -161,3 +161,70 @@ def test_g_ema_tracks_weighted_average():
                     jax.tree.leaves(want)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
     assert new_state.eval_g_params is new_state.g_ema
+
+
+def test_folded_superstep_matches_sequential():
+    """fold_steps: scanning K supersteps in one dispatch is bit-identical to
+    K sequential dispatches when fed the same per-step keys/batches."""
+    from lightning_gan_zoo_tpu.runtime.steps import build_folded_superstep
+
+    cfg, task = make_task("dc_gan")
+    d_tx, g_tx = task.configure_optimizers(steps_per_epoch=4)
+    g_vars, d_vars = task.init(jax.random.PRNGKey(0))
+    state0 = create_train_state(g_vars, d_vars, g_tx, d_tx,
+                                extra=task.initial_extra())
+    df, gf = int(cfg.optimisation.disc_freq), int(cfg.optimisation.gen_freq)
+    raw = build_superstep(task, g_tx, d_tx, df, gf)
+    n_micro = microbatch_count(df, gf)
+    fold = 3
+    rng = np.random.default_rng(1)
+    batches = jnp.asarray(rng.normal(
+        size=(fold, n_micro, 4, 16, 16, 3)) * 0.5, jnp.float32)
+    stacked = {"image": batches,
+               "label": jnp.zeros((fold, n_micro, 4), jnp.int32)}
+    root = jax.random.PRNGKey(100)
+    base = 6  # arbitrary starting micro-step counter
+
+    # sequential reference: the unfolded epoch loop's key sequence
+    s_seq = state0
+    ms = []
+    seq_step = jax.jit(raw)
+    for i in range(fold):
+        key = jax.random.fold_in(root, base + i * n_micro)
+        s_seq, m = seq_step(s_seq,
+                            jax.tree.map(lambda x: x[i], stacked), key)
+        ms.append(m)
+
+    folded = jax.jit(build_folded_superstep(raw, fold))
+    s_fold, m_fold = folded(state0, stacked, (root, jnp.int32(base)))
+
+    for a, b in zip(jax.tree.leaves(s_seq.g_params),
+                    jax.tree.leaves(s_fold.g_params)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-5, atol=1e-6)
+    for a, b in zip(jax.tree.leaves(s_seq.d_params),
+                    jax.tree.leaves(s_fold.d_params)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-5, atol=1e-6)
+    assert int(s_fold.step) == int(s_seq.step)
+    # folded metrics = mean over the fold of per-step metrics
+    for k in m_fold:
+        np.testing.assert_allclose(
+            float(m_fold[k]), float(np.mean([float(m[k]) for m in ms])),
+            rtol=1e-4)
+
+
+def test_trainer_fold_steps_end_to_end(tmp_path):
+    """train.fold_steps=2 trains through the full Trainer loop."""
+    from lightning_gan_zoo_tpu.runtime.loop import Trainer
+
+    cfg = compose(CONF_DIR, [
+        "+expt=dc_gan", "dataset=synthetic", "calc_fid=False",
+        "save_ckpts=False", "train.batch_size=4", "train.img_size=16",
+        "train.num_epochs=1", "dataset.n=32", "train.fold_steps=2",
+        "figure_details.fid_callback=False", f"output_root={tmp_path}",
+        "~figures"])
+    t = Trainer(cfg)
+    t.fit()
+    # 32 imgs / batch 4 = 8 micro-batches = 2 folded dispatches × 2 × 2
+    assert int(t.state.step) == 8
