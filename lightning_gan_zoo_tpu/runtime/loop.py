@@ -104,6 +104,7 @@ class Trainer:
 
         # dynamic (epoch-dependent) training shape knobs
         self.current_batch_size = int(self._initial_batch_size())
+        self._active_fold = 1
         self._compiled = {}
         self._current_key = None
         self.state = None
@@ -182,7 +183,9 @@ class Trainer:
 
     def _fold(self) -> int:
         """train.fold_steps: scan K supersteps into one dispatch (dispatch
-        amortisation; exact-math parity tested). 1 under fast_dev_run."""
+        amortisation; exact-math parity tested). 1 under fast_dev_run;
+        _make_train_loader clamps it to what the dataset can fill
+        (self._active_fold is the value actually in effect)."""
         if bool(self.cfg.debug.get("fast_dev_run", False)):
             return 1
         return max(1, int(self.cfg.train.get("fold_steps") or 1))
@@ -192,8 +195,13 @@ class Trainer:
         disc_freq = int(self.cfg.optimisation.disc_freq)
         gen_freq = int(self.cfg.optimisation.gen_freq)
         n_micro = microbatch_count(disc_freq, gen_freq, self._accum_factor())
+        # a fold span must fit the per-host epoch (tiny smoke datasets)
+        per_host = len(ds) // max(jax.process_count(), 1)
+        max_fold = max(1, per_host // max(self.current_batch_size * n_micro,
+                                          1))
+        self._active_fold = min(self._fold(), max_fold)
         return EpochLoader(ds, self.current_batch_size,
-                           n_micro=n_micro * self._fold(),
+                           n_micro=n_micro * self._active_fold,
                            seed=self.seed,
                            process_index=jax.process_index(),
                            process_count=jax.process_count())
@@ -201,14 +209,15 @@ class Trainer:
     def _get_step_fn(self):
         """(Re)build + jit the superstep when shape-relevant knobs change."""
         key = (self.current_batch_size, self._accum_factor(),
-               getattr(self.task, "training_resolution", None), self._fold())
+               getattr(self.task, "training_resolution", None),
+               self._active_fold)
         if key != self._current_key:
             disc_freq = int(self.cfg.optimisation.disc_freq)
             gen_freq = int(self.cfg.optimisation.gen_freq)
             raw = build_superstep(self.task, self.g_tx, self.d_tx,
                                   disc_freq, gen_freq, self._accum_factor(),
                                   ema_decay=self._ema_decay())
-            fold = self._fold()
+            fold = self._active_fold
             if fold > 1:
                 raw = build_folded_superstep(raw, fold)
             self._compiled[key] = pmesh.shard_superstep(raw, self.mesh,
@@ -247,7 +256,9 @@ class Trainer:
         num_epochs = 1 if fast_dev_run else int(self.cfg.train.num_epochs)
 
         loader = self._make_train_loader()
-        steps_per_epoch = loader.steps_per_epoch()
+        # epoch-based LR schedules count SUPERSTEPS per epoch; with
+        # fold_steps > 1 the loader counts dispatches (fold supersteps each)
+        steps_per_epoch = loader.steps_per_epoch() * self._active_fold
         self._init_state(steps_per_epoch)
 
         global_step = int(self.state.step)
@@ -259,7 +270,7 @@ class Trainer:
             t_epoch = time.perf_counter()
             step_counter = int(self.state.step)
             micro_per_super = loader.n_micro
-            fold = self._fold()
+            fold = self._active_fold
             micro_per_sub = micro_per_super // fold
 
             def staged(it):
