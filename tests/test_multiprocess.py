@@ -63,6 +63,21 @@ WORKER = textwrap.dedent("""
     new_state, metrics = step(state, batch, jax.random.PRNGKey(1))
     print(f"MPLOSS {float(metrics['d_loss']):.6f} "
           f"{float(metrics['g_loss']):.6f}", flush=True)
+
+    # folded megastep (train.fold_steps) through the SAME multi-process
+    # staging: per-process stripes of a [fold, n_micro, batch, ...] stack
+    from lightning_gan_zoo_tpu.runtime.steps import build_folded_superstep
+    fold = 2
+    folded = pmesh.shard_superstep(
+        build_folded_superstep(build_superstep(task, g_tx, d_tx, 1, 1),
+                               fold), mesh, donate_state=False, folded=True)
+    full2 = np.random.default_rng(1).normal(
+        size=(fold, n_micro, 16, 16, 16, 3)).astype(np.float32) * 0.5
+    local2 = {"image": full2[:, :, pid * 8:(pid + 1) * 8],
+              "label": np.zeros((fold, n_micro, 8), np.int32)}
+    b2 = pmesh.put_batch(local2, mesh, folded=True)
+    _, m2 = folded(new_state, b2, (jax.random.PRNGKey(2), jnp.int32(0)))
+    print(f"MPFOLD {float(m2['d_loss']):.6f}", flush=True)
 """)
 
 
@@ -92,11 +107,20 @@ def test_two_process_data_parallel(tmp_path):
     outs = [p.communicate(timeout=600) for p in procs]
     for p, (out, err) in zip(procs, outs):
         assert p.returncode == 0, f"worker failed:\n{out}\n{err[-3000:]}"
-    losses = [[float(v) for v in out.splitlines()[-1].split()[1:]]
-              for out, _ in outs
-              if any(ln.startswith("MPLOSS") for ln in out.splitlines())]
+    def rows(tag):
+        vals = []
+        for out, _ in outs:
+            for ln in out.splitlines():
+                if ln.startswith(tag):
+                    vals.append([float(v) for v in ln.split()[1:]])
+        return vals
+
+    losses = rows("MPLOSS")
     assert len(losses) == 2
     np.testing.assert_allclose(losses[0], losses[1], rtol=1e-5)
+    folded = rows("MPFOLD")
+    assert len(folded) == 2, "folded megastep did not run on both processes"
+    np.testing.assert_allclose(folded[0], folded[1], rtol=1e-5)
 
     # single-process 8-device reference run of the SAME global batch
     import jax

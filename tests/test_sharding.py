@@ -85,3 +85,55 @@ def test_batchnorm_is_global_batch_under_mesh():
     mean_sharded = np.asarray(run(vs, xs))
     global_mean = np.asarray(x).mean(axis=(0, 1, 2))
     np.testing.assert_allclose(mean_sharded, global_mean, atol=1e-5)
+
+
+def test_folded_superstep_8dev_matches_unfolded():
+    """train.fold_steps under the 8-device mesh: the folded megastep with
+    P(None, None, 'data') batch sharding matches sequential sharded
+    supersteps, and accum composes (n_micro includes the accum factor)."""
+    from lightning_gan_zoo_tpu.runtime.steps import build_folded_superstep
+
+    cfg = compose(CONF_DIR, ["+expt=dc_gan", "dataset=synthetic",
+                             "train.img_size=16", "train.batch_size=16",
+                             "train.features_disc=8", "train.features_gen=8",
+                             "model.noise_dim=16", "precision=32",
+                             "num_gpus=8"])
+    task = instantiate(cfg.model.lm, cfg, "/tmp/lgzt_shard")
+    mesh = pmesh.make_mesh(8)
+    d_tx, g_tx = task.configure_optimizers(steps_per_epoch=4)
+    g_vars, d_vars = task.init(jax.random.PRNGKey(0))
+    accum, fold = 2, 2
+    raw = build_superstep(task, g_tx, d_tx, 1, 1, accum=accum)
+    n_micro = microbatch_count(1, 1, accum)
+    rng = np.random.default_rng(3)
+    stacked = {
+        "image": jnp.asarray(rng.normal(
+            size=(fold, n_micro, 16, 16, 16, 3)) * 0.5, jnp.float32),
+        "label": jnp.zeros((fold, n_micro, 16), jnp.int32),
+    }
+    root, base = jax.random.PRNGKey(9), 4
+
+    # sequential sharded reference
+    s_seq = pmesh.put_replicated(
+        create_train_state(g_vars, d_vars, g_tx, d_tx), mesh)
+    seq = pmesh.shard_superstep(raw, mesh, donate_state=False)
+    for i in range(fold):
+        b = jax.device_put(jax.tree.map(lambda x: x[i], stacked),
+                           pmesh.batch_sharding(mesh))
+        s_seq, _ = seq(s_seq, b,
+                       jax.random.fold_in(root, base + i * n_micro))
+
+    s_fold = pmesh.put_replicated(
+        create_train_state(g_vars, d_vars, g_tx, d_tx), mesh)
+    folded = pmesh.shard_superstep(build_folded_superstep(raw, fold), mesh,
+                                   donate_state=False, folded=True)
+    bb = jax.device_put(stacked, pmesh.batch_sharding(mesh, folded=True))
+    s_fold, m = folded(s_fold, bb, (root, jnp.int32(base)))
+
+    assert np.isfinite(float(m["d_loss"]))
+    for a, b in zip(jax.tree.leaves(s_seq.g_params),
+                    jax.tree.leaves(s_fold.g_params)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-5, atol=1e-6)
+    leaf = jax.tree_util.tree_leaves(s_fold.g_params)[0]
+    assert leaf.sharding.is_fully_replicated
