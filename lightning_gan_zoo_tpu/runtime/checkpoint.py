@@ -19,8 +19,13 @@ import orbax.checkpoint as ocp
 
 
 class CheckpointManager:
-    def __init__(self, ckpt_dir: str | Path, save_ckpts: bool = True):
-        self.dir = Path(ckpt_dir)
+    def __init__(self, ckpt_dir: Optional[str | Path],
+                 save_ckpts: bool = True):
+        """``ckpt_dir=None`` builds a restore-only manager (``save_ckpts``
+        is forced off); saving requires a directory."""
+        if ckpt_dir is None:
+            save_ckpts = False
+        self.dir = Path(ckpt_dir) if ckpt_dir is not None else None
         self.save_ckpts = save_ckpts
         self._ckptr = ocp.StandardCheckpointer()
         if save_ckpts:

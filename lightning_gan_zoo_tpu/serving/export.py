@@ -41,15 +41,19 @@ def build_exported_generator(task, g_params, g_state, extra, batch: int):
         key = jax.random.PRNGKey(seed)
         return task.generate(g_params, g_state, z, rng=key, extra=extra)
 
+    args = (jax.ShapeDtypeStruct((batch, z_dim), jnp.float32),
+            jax.ShapeDtypeStruct((), jnp.int32))
     try:  # multi-platform artifact (runs on TPU serving fleets AND CPU)
-        exp = jexport.export(jax.jit(gen), platforms=("tpu", "cpu"))(
-            jax.ShapeDtypeStruct((batch, z_dim), jnp.float32),
-            jax.ShapeDtypeStruct((), jnp.int32))
-    except Exception:  # a lowering rejects multi-platform → current backend
-        exp = jexport.export(jax.jit(gen))(
-            jax.ShapeDtypeStruct((batch, z_dim), jnp.float32),
-            jax.ShapeDtypeStruct((), jnp.int32))
-    return exp
+        return jexport.export(jax.jit(gen), platforms=("tpu", "cpu"))(
+            *args), None
+    except (NotImplementedError, ValueError) as e:
+        # a platform-specific lowering (e.g. a Pallas custom call) rejects
+        # multi-platform export → fall back to the current backend only,
+        # and surface WHY in the sidecar so a real lowering bug can't hide
+        # as a silent single-platform downgrade
+        reason = f"{type(e).__name__}: {e}"
+    exp = jexport.export(jax.jit(gen))(*args)
+    return exp, reason
 
 
 def export_generator(conf_dir, overrides: Sequence[str], batch: int,
@@ -78,7 +82,8 @@ def export_generator(conf_dir, overrides: Sequence[str], batch: int,
         g_params = g_vars.pop("params")
         g_state = g_vars
 
-    exp = build_exported_generator(task, g_params, g_state, extra, batch)
+    exp, fallback_reason = build_exported_generator(
+        task, g_params, g_state, extra, batch)
     blob = exp.serialize()
     out_path = Path(out_path)
     out_path.write_bytes(blob)
@@ -88,6 +93,8 @@ def export_generator(conf_dir, overrides: Sequence[str], batch: int,
         "call": "images = jax.export.deserialize(blob).call(z, seed)",
         "platforms": list(exp.platforms),
     }
+    if fallback_reason is not None:
+        sidecar["fallback_reason"] = fallback_reason
     out_path.with_suffix(out_path.suffix + ".json").write_text(
         json.dumps(sidecar, indent=2))
     return out_path, sidecar

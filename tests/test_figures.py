@@ -130,3 +130,112 @@ def test_anigan_figures_draw(tmp_path):
     tt.draw_and_save(ctx)
     assert (tmp_path / "figures" / "epoch_0"
             / "AniganTurntable.gif").exists()
+
+
+def _hologan_ctx(tmp_path):
+    from lightning_gan_zoo_tpu.parallel.family_runs import build_family
+    cfg, task = build_family(CONF_DIR, "hologan", batch=4)
+    g_vars, _ = task.init(jax.random.PRNGKey(0))
+    return cfg, FigureContext(
+        task=task, g_params=dict(g_vars)["params"],
+        g_state={k: v for k, v in g_vars.items() if k != "params"},
+        cfg=cfg, epoch=0, rng=jax.random.PRNGKey(1))
+
+
+def _pigan_ctx(tmp_path):
+    from lightning_gan_zoo_tpu.parallel.family_runs import build_family
+    cfg, task = build_family(CONF_DIR, "pigan", batch=4)
+    g_vars, _ = task.init(jax.random.PRNGKey(0))
+    return cfg, FigureContext(
+        task=task, g_params=dict(g_vars)["params"],
+        g_state={k: v for k, v in g_vars.items() if k != "params"},
+        cfg=cfg, epoch=0, rng=jax.random.PRNGKey(1))
+
+
+def _gif_frames(path):
+    from PIL import Image
+    with Image.open(path) as im:
+        return im.n_frames
+
+
+def test_interpolation_figure(tmp_path):
+    """Spherical z-lerp GIF (reference types.py:241-264): n_frames forwards
+    + n_frames backwards, values in [0,1]."""
+    from lightning_gan_zoo_tpu.figures.types import Interpolation
+    cfg, ctx = _dcgan_ctx(tmp_path)
+    fig = Interpolation(cfg.figure_details, str(tmp_path), n_frames=3)
+    frames = fig.draw(ctx)
+    assert len(frames) == 6
+    for f in frames:
+        assert f.min() >= 0.0 and f.max() <= 1.0
+    fig.draw_and_save(ctx)
+    out = fig._out_path(ctx)
+    # PIL merges the duplicated palindrome middle frame when writing
+    assert out.exists() and _gif_frames(out) in (5, 6)
+
+
+def test_interpolation3d_figure(tmp_path):
+    """Joint z+pose lerp for HoloGAN (reference types.py:266-293)."""
+    from lightning_gan_zoo_tpu.figures.types import Interpolation3d
+    cfg, ctx = _hologan_ctx(tmp_path)
+    fig = Interpolation3d(cfg.figure_details, str(tmp_path), n_frames=2)
+    frames = fig.draw(ctx)
+    assert len(frames) == 4
+    for f in frames:
+        assert f.min() >= 0.0 and f.max() <= 1.0
+    fig.draw_and_save(ctx)
+    assert fig._out_path(ctx).exists()
+
+
+def test_azimuth_and_elevation_step_figures(tmp_path):
+    """Pose-sweep grids (reference types.py:182-239): n_objs rows ×
+    n_steps azimuth/elevation columns; poses must actually change the
+    rendered image."""
+    from lightning_gan_zoo_tpu.figures.types import (AzimuthStep,
+                                                     ElevationStep)
+    cfg, ctx = _hologan_ctx(tmp_path)
+    for cls, fname in ((AzimuthStep, "AzimuthStep.png"),
+                       (ElevationStep, "ElevationStep.png")):
+        fig = cls(cfg.figure_details, str(tmp_path), n_steps=2, n_objs=2)
+        grid = fig.draw(ctx)
+        assert grid.ndim == 3 and grid.shape[-1] == 3
+        assert grid.min() >= 0.0 and grid.max() <= 1.0
+        fig.draw_and_save(ctx)
+        assert fig._out_path(ctx).exists()
+
+
+def test_azimuth_step_pigan(tmp_path):
+    """The pose-sweep figures also work for π-GAN (view_in → cameras path,
+    reference pigan.py:42-53)."""
+    from lightning_gan_zoo_tpu.figures.types import AzimuthStep
+    cfg, ctx = _pigan_ctx(tmp_path)
+    fig = AzimuthStep(cfg.figure_details, str(tmp_path), n_steps=2, n_objs=2)
+    grid = fig.draw(ctx)
+    assert grid.min() >= 0.0 and grid.max() <= 1.0
+    fig.draw_and_save(ctx)
+    assert fig._out_path(ctx).exists()  # pigan config sets save_all
+
+
+def test_azimuth_and_elevation_gif_figures(tmp_path):
+    """Orbit GIFs (reference types.py:295-359): frame count = 2·n_frames
+    (forward + reverse), distinct poses give distinct frames."""
+    from lightning_gan_zoo_tpu.figures.types import AzimuthGif, ElevationGif
+    cfg, ctx = _hologan_ctx(tmp_path)
+
+    fig = AzimuthGif(cfg.figure_details, str(tmp_path), ncol=2, n_frames=2)
+    frames = fig.draw(ctx)
+    assert len(frames) == 4
+    assert np.abs(frames[0] - frames[1]).max() > 1e-4  # azimuth changed
+    fig.draw_and_save(ctx)
+    out = fig._out_path(ctx)
+    assert out.exists() and _gif_frames(out) in (3, 4)
+
+    fig = ElevationGif(cfg.figure_details, str(tmp_path), num_objs=4,
+                       n_frames=2)
+    frames = fig.draw(ctx)
+    assert len(frames) == 4
+    for f in frames:
+        assert f.min() >= 0.0 and f.max() <= 1.0
+    fig.draw_and_save(ctx)
+    out = fig._out_path(ctx)
+    assert out.exists() and _gif_frames(out) in (3, 4)

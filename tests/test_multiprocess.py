@@ -1,6 +1,7 @@
 """True multi-process (multi-host) data parallelism, exercised for real:
-two JAX processes with 4 virtual CPU devices each form one 8-device global
-mesh via jax.distributed, each contributes its stripe of the global batch
+N JAX processes (2×4-device and 4×2-device layouts — the reference's 8-way
+DDP shape, conf/machine/big.yaml:2) form one 8-device global mesh via
+jax.distributed, each contributes its stripe of the global batch
 (pmesh.put_batch ← make_array_from_process_local_data), and one superstep
 runs with XLA's cross-process psum. The loss must match a single-process
 8-device run of the same global batch — the reference's DDP contract
@@ -21,9 +22,10 @@ WORKER = textwrap.dedent("""
     sys.path.insert(0, os.environ["LGZT_REPO"])
     import jax
     jax.config.update("jax_platforms", "cpu")
+    NPROC = int(os.environ["LGZT_NPROC"])
     jax.distributed.initialize(
         coordinator_address=os.environ["LGZT_COORD"],
-        num_processes=2, process_id=int(os.environ["LGZT_PID"]))
+        num_processes=NPROC, process_id=int(os.environ["LGZT_PID"]))
     import jax.numpy as jnp
     import numpy as np
     from lightning_gan_zoo_tpu.config import compose
@@ -33,8 +35,9 @@ WORKER = textwrap.dedent("""
     from lightning_gan_zoo_tpu.runtime.steps import (build_superstep,
                                                      microbatch_count)
 
-    assert jax.process_count() == 2
-    assert jax.device_count() == 8 and len(jax.local_devices()) == 4
+    assert jax.process_count() == NPROC
+    assert jax.device_count() == 8
+    assert len(jax.local_devices()) == 8 // NPROC
 
     cfg = compose(os.environ["LGZT_REPO"] + "/conf",
                   ["+expt=dc_gan", "dataset=synthetic", "calc_fid=False",
@@ -57,8 +60,9 @@ WORKER = textwrap.dedent("""
     full = np.random.default_rng(0).normal(
         size=(n_micro, 16, 16, 16, 3)).astype(np.float32) * 0.5
     pid = jax.process_index()
-    local = {"image": full[:, pid * 8:(pid + 1) * 8],
-             "label": np.zeros((n_micro, 8), np.int32)}
+    per = 16 // NPROC          # per-process stripe of the global batch
+    local = {"image": full[:, pid * per:(pid + 1) * per],
+             "label": np.zeros((n_micro, per), np.int32)}
     batch = pmesh.put_batch(local, mesh)
     new_state, metrics = step(state, batch, jax.random.PRNGKey(1))
     print(f"MPLOSS {float(metrics['d_loss']):.6f} "
@@ -73,8 +77,8 @@ WORKER = textwrap.dedent("""
                                fold), mesh, donate_state=False, folded=True)
     full2 = np.random.default_rng(1).normal(
         size=(fold, n_micro, 16, 16, 16, 3)).astype(np.float32) * 0.5
-    local2 = {"image": full2[:, :, pid * 8:(pid + 1) * 8],
-              "label": np.zeros((fold, n_micro, 8), np.int32)}
+    local2 = {"image": full2[:, :, pid * per:(pid + 1) * per],
+              "label": np.zeros((fold, n_micro, per), np.int32)}
     b2 = pmesh.put_batch(local2, mesh, folded=True)
     _, m2 = folded(new_state, b2, (jax.random.PRNGKey(2), jnp.int32(0)))
     print(f"MPFOLD {float(m2['d_loss']):.6f}", flush=True)
@@ -82,7 +86,8 @@ WORKER = textwrap.dedent("""
 
 
 @pytest.mark.slow
-def test_two_process_data_parallel(tmp_path):
+@pytest.mark.parametrize("nproc", [2, 4])
+def test_multi_process_data_parallel(tmp_path, nproc):
     port = socket.socket()
     port.bind(("localhost", 0))
     coord = f"localhost:{port.getsockname()[1]}"
@@ -91,12 +96,14 @@ def test_two_process_data_parallel(tmp_path):
     worker_py = tmp_path / "worker.py"
     worker_py.write_text(WORKER)
     procs = []
-    for pid in (0, 1):
+    for pid in range(nproc):
         env = dict(os.environ)
         env.pop("PALLAS_AXON_POOL_IPS", None)
         env["JAX_PLATFORMS"] = "cpu"
-        env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+        env["XLA_FLAGS"] = (
+            f"--xla_force_host_platform_device_count={8 // nproc}")
         env["LGZT_COORD"] = coord
+        env["LGZT_NPROC"] = str(nproc)
         env["LGZT_PID"] = str(pid)
         env["LGZT_REPO"] = str(REPO_ROOT)
         env.setdefault("JAX_COMPILATION_CACHE_DIR",
@@ -116,11 +123,13 @@ def test_two_process_data_parallel(tmp_path):
         return vals
 
     losses = rows("MPLOSS")
-    assert len(losses) == 2
-    np.testing.assert_allclose(losses[0], losses[1], rtol=1e-5)
+    assert len(losses) == nproc
+    for other in losses[1:]:
+        np.testing.assert_allclose(losses[0], other, rtol=1e-5)
     folded = rows("MPFOLD")
-    assert len(folded) == 2, "folded megastep did not run on both processes"
-    np.testing.assert_allclose(folded[0], folded[1], rtol=1e-5)
+    assert len(folded) == nproc, "folded megastep missing on some process"
+    for other in folded[1:]:
+        np.testing.assert_allclose(folded[0], other, rtol=1e-5)
 
     # single-process 8-device reference run of the SAME global batch
     import jax

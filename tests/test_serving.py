@@ -46,3 +46,50 @@ def test_export_stochastic_views_hologan(tmp_path):
     b = np.asarray(g.call(z, jnp.int32(7)), np.float32)
     assert np.isfinite(a).all() and np.isfinite(b).all()
     assert np.abs(a - b).max() > 1e-4
+
+
+def test_export_multiplatform_dcgan(tmp_path):
+    """dc_gan has no platform-specific lowering — the multi-platform
+    (tpu+cpu) artifact must be produced, with no fallback_reason recorded
+    (serving/export.py narrow-fallback contract)."""
+    out = tmp_path / "g.stablehlo"
+    _, sidecar = export_generator(
+        CONF, ["+expt=dc_gan", "dataset=synthetic", "calc_fid=False",
+               "train.img_size=32"], batch=2, out_path=out)
+    assert set(sidecar["platforms"]) == {"tpu", "cpu"}
+    assert "fallback_reason" not in sidecar
+
+
+def test_export_from_trained_checkpoint(tmp_path):
+    """serving.ckpt path: export a generator restored from a saved
+    checkpoint (the module's stated purpose) and verify the artifact
+    reproduces the restored params' output — not the random init's."""
+    from lightning_gan_zoo_tpu.config import compose
+    from lightning_gan_zoo_tpu.config.registry import instantiate
+    from lightning_gan_zoo_tpu.runtime.checkpoint import CheckpointManager
+    from lightning_gan_zoo_tpu.runtime.state import create_train_state
+
+    overrides = ["+expt=dc_gan", "dataset=synthetic", "calc_fid=False",
+                 "train.img_size=32"]
+    cfg = compose(CONF, overrides)
+    task = instantiate(cfg.model.lm, cfg, str(tmp_path))
+    g_vars, d_vars = task.init(jax.random.PRNGKey(3))
+    d_tx, g_tx = task.configure_optimizers(steps_per_epoch=1)
+    # perturb G params so the checkpoint differs from export's init(seed=0)
+    g_vars = dict(g_vars)
+    g_vars["params"] = jax.tree.map(lambda p: p + 0.05, g_vars["params"])
+    state = create_train_state(g_vars, d_vars, g_tx, d_tx,
+                               extra=task.initial_extra())
+    ckpt_dir = tmp_path / "ckpts"
+    CheckpointManager(ckpt_dir).save_best(state, epoch=3, fid=21.5)
+
+    out = tmp_path / "g.stablehlo"
+    path, sidecar = export_generator(CONF, overrides, batch=2, out_path=out,
+                                     ckpt=str(ckpt_dir))
+    g = jexport.deserialize(path.read_bytes())
+    z = jax.random.normal(jax.random.PRNGKey(4), (2, sidecar["z_dim"]))
+    got = np.asarray(g.call(z, jnp.int32(0)), np.float32)
+    want = np.asarray(task.generate(
+        g_vars["params"], {k: v for k, v in g_vars.items() if k != "params"},
+        z), np.float32)
+    np.testing.assert_allclose(got, want, atol=1e-5)

@@ -1,12 +1,23 @@
 """Multi-device data-parallel tests on the virtual 8-CPU mesh (SURVEY §4:
-emulate an 8-way mesh without a TPU)."""
+emulate an 8-way mesh without a TPU).
+
+Every GAN family runs here — the reference's DDP applies uniformly to every
+LightningModule (/root/reference/run_network.py:66), so the mesh superstep
+must hold for every task: WGAN's per-microstep clip ordering, R1/WGAN-GP
+grad-of-grad through the batch psum, HoloGAN's Pallas-kernel CPU fallback +
+view RNG, π-GAN/ANIGAN extra-state alpha and deformation batches.
+"""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 from tests.conftest import CONF_DIR
 from lightning_gan_zoo_tpu.config import compose
 from lightning_gan_zoo_tpu.config.registry import instantiate
 from lightning_gan_zoo_tpu.parallel import mesh as pmesh
+from lightning_gan_zoo_tpu.parallel.family_runs import (FAMILIES,
+                                                        family_loss_grads,
+                                                        run_family_superstep)
 from lightning_gan_zoo_tpu.runtime.state import create_train_state
 from lightning_gan_zoo_tpu.runtime.steps import build_superstep, microbatch_count
 
@@ -17,45 +28,47 @@ def test_eight_cpu_devices_present():
     )
 
 
-def test_data_parallel_superstep_8dev():
-    cfg = compose(CONF_DIR, ["+expt=dc_gan", "dataset=synthetic",
-                             "train.img_size=16", "train.batch_size=16",
-                             "train.features_disc=8", "train.features_gen=8",
-                             "model.noise_dim=16", "precision=32",
-                             "num_gpus=8"])
-    task = instantiate(cfg.model.lm, cfg, "/tmp/lgzt_shard")
-    mesh = pmesh.make_mesh(8)
-    d_tx, g_tx = task.configure_optimizers(steps_per_epoch=4)
-    g_vars, d_vars = task.init(jax.random.PRNGKey(0))
-    state = create_train_state(g_vars, d_vars, g_tx, d_tx)
-    state = pmesh.put_replicated(state, mesh)
-
-    step = pmesh.shard_superstep(
-        build_superstep(task, g_tx, d_tx, 1, 1), mesh, donate_state=False)
-    n_micro = microbatch_count(1, 1)
-    batch = {
-        "image": jnp.asarray(np.random.default_rng(0).normal(
-            size=(n_micro, 16, 16, 16, 3)) * 0.5, jnp.float32),
-        "label": jnp.zeros((n_micro, 16), jnp.int32),
-    }
-    batch = jax.device_put(batch, pmesh.batch_sharding(mesh))
-    new_state, metrics = step(state, batch, jax.random.PRNGKey(1))
-    assert np.isfinite(float(metrics["d_loss"]))
-    assert np.isfinite(float(metrics["g_loss"]))
-    # params identical across devices (replicated sharding is preserved)
-    leaf = jax.tree_util.tree_leaves(new_state.g_params)[0]
+@pytest.mark.parametrize("family", FAMILIES)
+def test_data_parallel_superstep_8dev(family):
+    """8-device sharded superstep runs, keeps params replicated, and its
+    losses match single-device execution of the same global batch."""
+    mesh8 = pmesh.make_mesh(8)
+    state8, m8 = run_family_superstep(CONF_DIR, family, mesh8, batch=16)
+    for k, v in m8.items():
+        assert np.isfinite(float(v)), f"{family} metric {k} not finite"
+    leaf = jax.tree_util.tree_leaves(state8.g_params)[0]
     assert leaf.sharding.is_fully_replicated
 
-    # determinism vs single-device execution of the same batch
     mesh1 = pmesh.make_mesh(1)
-    state1 = create_train_state(g_vars, d_vars, g_tx, d_tx)
-    step1 = pmesh.shard_superstep(
-        build_superstep(task, g_tx, d_tx, 1, 1), mesh1, donate_state=False)
-    b1 = jax.device_put(batch, pmesh.batch_sharding(mesh1))
-    new1, m1 = step1(jax.device_put(state1, pmesh.replicated(mesh1)), b1,
-                     jax.random.PRNGKey(1))
-    np.testing.assert_allclose(float(m1["d_loss"]), float(metrics["d_loss"]),
-                               rtol=2e-3)
+    state1, m1 = run_family_superstep(CONF_DIR, family, mesh1, batch=16)
+    for k in m8:
+        np.testing.assert_allclose(float(m1[k]), float(m8[k]), rtol=2e-3,
+                                   atol=1e-5, err_msg=f"{family}:{k}")
+
+    # strict equivalence: BOTH loss gradients at init params on the same
+    # global micro-batch must match across meshes to reduction-order
+    # tolerance — the property the data-parallel psum actually guarantees
+    # (post-Adam params are sign-noise-amplified for degenerate leaves; see
+    # family_loss_grads docstring)
+    g8 = family_loss_grads(CONF_DIR, family, mesh8, batch=16)
+    g1 = family_loss_grads(CONF_DIR, family, mesh1, batch=16)
+    np.testing.assert_allclose(float(g1["d_loss"]), float(g8["d_loss"]),
+                               rtol=1e-4, err_msg=family)
+    np.testing.assert_allclose(float(g1["g_loss"]), float(g8["g_loss"]),
+                               rtol=1e-4, err_msg=family)
+    for side in ("d_grads", "g_grads"):
+        for (path, a), (_, b) in zip(
+                jax.tree_util.tree_leaves_with_path(g1[side]),
+                jax.tree_util.tree_leaves_with_path(g8[side])):
+            a, b = np.asarray(a), np.asarray(b)
+            # 0.1% of the leaf's max |grad| (atol floor 1e-3): reduction
+            # regrouping under batch splitting is cancellation-amplified in
+            # second-order (R1/GP) conv grads, and XLA CPU picks different
+            # conv algorithms per batch shape
+            tol = 1e-3 * max(1.0, float(np.abs(a).max()))
+            np.testing.assert_allclose(
+                b, a, atol=tol,
+                err_msg=f"{family}:{side}{jax.tree_util.keystr(path)}")
 
 
 def test_batchnorm_is_global_batch_under_mesh():
