@@ -72,12 +72,18 @@ def scoreboard():
             rows[fam] = run_once(env)
             if fam == "dc_gan":
                 # the driver's headline metric: repeat once and keep the
-                # better sample (tunnel run-to-run variance is ±15-30%)
+                # better sample (tunnel run-to-run variance is ±15-30%);
+                # record BOTH samples + the protocol so the row is honest
+                # about its sampling
                 try:
                     again = run_once(env)
+                    samples = sorted([float(rows[fam].get("value") or 0),
+                                      float(again.get("value") or 0)])
                     if (again.get("value") or 0) > (rows[fam].get("value")
                                                     or 0):
                         rows[fam] = again
+                    rows[fam]["best_of"] = 2
+                    rows[fam]["value_runs"] = samples
                 except Exception:
                     pass
         except Exception as e:  # flaky tunnel compile, timeout, ...

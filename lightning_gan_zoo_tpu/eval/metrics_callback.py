@@ -132,7 +132,14 @@ class InceptionMetrics:
                          n_channels=int(self.cfg.train.channels_img),
                          data_mean=float(self.cfg.train.data_mean),
                          data_std=float(self.cfg.train.data_std))
-        n = min(len(ds), self.n_samples)
+        # default: match the fake-side count (fairer small-run FID); the
+        # reference caches stats over the FULL real dir
+        # (callback_inception_metrics.py:213-225) — val.fid_real_full=True
+        # reproduces that when real datasets are mounted
+        if bool(self.cfg.val.get("fid_real_full", False)):
+            n = len(ds)
+        else:
+            n = min(len(ds), self.n_samples)
         mean = float(self.cfg.train.data_mean)
         std = float(self.cfg.train.data_std)
         acts = []

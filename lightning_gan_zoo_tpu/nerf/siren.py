@@ -111,6 +111,10 @@ class SirenNet(nn.Module):
     w0_initial: float = 30.0
     dtype: Any = jnp.float32
     fused: bool = True
+    #: test-only: run the fused branch in Pallas interpret mode on any
+    #: backend, so the in-module wiring (dense() grandchild calls, γ=1/β=0
+    #: packing, dtype casts) is CI-exercisable without a TPU
+    fused_interpret: bool = False
 
     def setup(self):
         layers = []
@@ -124,8 +128,10 @@ class SirenNet(nn.Module):
         self.layers = layers
 
     def __call__(self, x, gammas=None, betas=None):
-        use_fused = (self.fused and self.dtype == jnp.bfloat16
-                     and jax.default_backend() == "tpu"
+        use_fused = (self.fused
+                     and (self.fused_interpret
+                          or (self.dtype == jnp.bfloat16
+                              and jax.default_backend() == "tpu"))
                      and x.ndim == 3
                      and self.dim_out == self.dim_hidden
                      and self.dim_hidden % 128 == 0)
@@ -155,7 +161,7 @@ class SirenNet(nn.Module):
             b_in = betas.astype(jnp.float32)
         w0s = (self.w0_initial,) + (self.w0,) * self.num_layers
         out = siren_trunk(x.astype(jnp.float32), w0k, wmid, bs,
-                          g_in, b_in, w0s)
+                          g_in, b_in, w0s, self.fused_interpret)
         return out.astype(self.dtype)
 
 

@@ -257,7 +257,14 @@ class Trainer:
 
         loader = self._make_train_loader()
         # epoch-based LR schedules count SUPERSTEPS per epoch; with
-        # fold_steps > 1 the loader counts dispatches (fold supersteps each)
+        # fold_steps > 1 the loader counts dispatches (fold supersteps each).
+        # DOCUMENTED APPROXIMATION: the schedule horizon is fixed from the
+        # FIRST epoch's loader; later annealing-driven batch-size/fold
+        # changes shift the true supersteps-per-epoch slightly (the
+        # reference's LambdaLR horizons are equally coarse — epoch-granular,
+        # lightning_module.py:254-265). Folding additionally drops up to
+        # fold·n_micro·batch−1 trailing images per epoch vs n_micro·batch−1
+        # unfolded.
         steps_per_epoch = loader.steps_per_epoch() * self._active_fold
         self._init_state(steps_per_epoch)
 

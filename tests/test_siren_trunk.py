@@ -94,3 +94,28 @@ def test_no_film_path():
     np.testing.assert_allclose(
         np.asarray(y_k, np.float32), np.asarray(y_plain, np.float32),
         atol=0.04)
+
+
+def test_module_fused_dispatch_matches_plain():
+    """The IN-MODULE fused dispatch (SirenNet.__call__ use_fused branch:
+    lyr.dense() grandchild invocations, weight stacking, dtype casts) — not
+    just the raw kernel — must match the plain layer loop. fused_interpret
+    forces the branch on CPU (ADVICE r2: previously unreachable in CI)."""
+    x, g, bt, _, variables, *_ = _setup()
+    plain = SirenNet(H, H, NL, dtype=jnp.bfloat16, fused=False)
+    fused = SirenNet(H, H, NL, dtype=jnp.bfloat16, fused_interpret=True)
+    y_plain = np.asarray(plain.apply(variables, x, g, bt), np.float32)
+    y_fused = np.asarray(fused.apply(variables, x, g, bt), np.float32)
+    np.testing.assert_allclose(y_fused, y_plain, atol=0.04)
+
+
+def test_module_fused_dispatch_no_film():
+    """γ=1/β=0 packing when gammas is None: fused output equals the plain
+    un-modulated stack."""
+    x, *_ = _setup()
+    plain = SirenNet(H, H, NL, dtype=jnp.bfloat16, fused=False)
+    fused = SirenNet(H, H, NL, dtype=jnp.bfloat16, fused_interpret=True)
+    variables = plain.init(jax.random.PRNGKey(1), x)
+    y_plain = np.asarray(plain.apply(variables, x), np.float32)
+    y_fused = np.asarray(fused.apply(variables, x), np.float32)
+    np.testing.assert_allclose(y_fused, y_plain, atol=0.04)
