@@ -34,6 +34,26 @@ sys.path.insert(0, str(REPO))
 
 REFERENCE_IMAGES_PER_SEC = 2500.0  # documented anchor, see module docstring
 
+# Per-family anchor: the 2500 img/s estimate is only meaningful for the five
+# CelebA-64 expts named by the BASELINE.json north star (dc_gan, wgan,
+# wgan_gp, gan_stability_r1, hologan). The NeRF volumetric families have no
+# comparable reference baseline (the reference publishes nothing and a DCGAN
+# anchor is category-wrong for a per-ray renderer) — their rows carry
+# vs_baseline=null and the meaningful fields are device_ms_per_superstep/mfu.
+FAMILY_ANCHOR = {
+    "dc_gan": REFERENCE_IMAGES_PER_SEC, "wgan": REFERENCE_IMAGES_PER_SEC,
+    "wgan_gp": REFERENCE_IMAGES_PER_SEC,
+    "gan_stability_r1": REFERENCE_IMAGES_PER_SEC,
+    "hologan": REFERENCE_IMAGES_PER_SEC,
+    "pigan": None, "anigan": None,
+}
+
+# bf16 peak matmul FLOP/s by device kind, for the analytic MFU field
+PEAK_FLOPS_BY_KIND = {
+    "v5 lite": 197e12, "v5e": 197e12, "v4": 275e12, "v5p": 459e12,
+    "v6 lite": 918e12, "v6e": 918e12,
+}
+
 FAMILIES = ("dc_gan", "wgan", "wgan_gp", "gan_stability_r1", "hologan",
             "pigan", "anigan")
 
@@ -55,10 +75,11 @@ def scoreboard():
             # through the tunnel; fold supersteps per dispatch
             # (train.fold_steps — a real runtime feature, parity-tested).
             # dc_gan measured 26.7k -> 45.8k img/s; device trace 51.7k.
-            # wgan's 5:1 superstep keeps a smaller fold — fold·n_micro
-            # bounds the scanned program's compile time on the tunnel.
-            env.setdefault("BENCH_FOLD", "2" if fam == "wgan" else "8")
-            env.setdefault("BENCH_STEPS", "15" if fam == "wgan" else "8")
+            # wgan runs its measured-best fold=8 since the scan-over-updates
+            # superstep (runtime/steps.py) compiles ONE D update instead of
+            # five — the old 48-microstep unroll risked the family timeout.
+            env.setdefault("BENCH_FOLD", "8")
+            env.setdefault("BENCH_STEPS", "8")
 
         def run_once(e):
             proc = subprocess.run(
@@ -99,6 +120,21 @@ def scoreboard():
             else:
                 rows[fam] = {"error": f"{type(e).__name__}: {e}"[:200]}
         print(f"# {fam}: {rows[fam]}", file=sys.stderr)
+
+    # FID-eval wall-time (BASELINE.json metric #3: "FID eval wall-time") —
+    # generate fid_n_samples fakes → fused on-device pool3 → FID+KID
+    fid_row = None
+    try:
+        proc = subprocess.run(
+            [sys.executable, str(REPO / "bench.py")],
+            env=dict(os.environ, BENCH_FID="1"),
+            capture_output=True, text=True, timeout=timeout)
+        fid_row = json.loads([ln for ln in proc.stdout.splitlines()
+                              if ln.startswith("{")][-1])
+    except Exception as e:
+        fid_row = {"error": f"{type(e).__name__}: {e}"[:200]}
+    print(f"# fid_eval: {fid_row}", file=sys.stderr)
+
     head = rows.get("dc_gan", {})
     print(json.dumps({
         "metric": head.get("metric",
@@ -107,6 +143,50 @@ def scoreboard():
         "unit": head.get("unit", "images/sec/chip"),
         "vs_baseline": head.get("vs_baseline"),
         "families": rows,
+        "fid_eval": fid_row,
+    }))
+
+
+def fid_eval_bench():
+    """Time the full FID/KID validation pass (reference counterpart:
+    core/callback_inception_metrics.py:183-243 — PNG round-trip + pip
+    pytorch-fid; here: fused on-device generate→pool3→Fréchet/KID).
+
+    Reports the first call (includes jit compile + real-side stats build)
+    and the steady-state call (the per-validation-epoch cost)."""
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                          os.path.expanduser("~/.cache/jax"))
+    import jax
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ["JAX_COMPILATION_CACHE_DIR"])
+
+    from lightning_gan_zoo_tpu.config import compose
+    from lightning_gan_zoo_tpu.config.registry import instantiate
+    from lightning_gan_zoo_tpu.eval.metrics_callback import InceptionMetrics
+
+    n_samples = int(os.environ.get("BENCH_FID_SAMPLES", 5000))
+    cfg = compose(REPO / "conf", [
+        "+expt=dc_gan", "dataset=synthetic", "save_ckpts=False",
+        f"val.fid_n_samples={n_samples}", "val.fid_batch_size=100"])
+    task = instantiate(cfg.model.lm, cfg, "/tmp/bench_fid")
+    g_vars, _ = task.init(jax.random.PRNGKey(0))
+    g_params = dict(g_vars)["params"]
+    g_state = {k: v for k, v in g_vars.items() if k != "params"}
+
+    metrics = InceptionMetrics(cfg, task)
+    t0 = time.perf_counter()
+    out = metrics.compute(g_params, g_state, jax.random.PRNGKey(1))
+    first_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    out = metrics.compute(g_params, g_state, jax.random.PRNGKey(2))
+    steady_s = time.perf_counter() - t0
+    print(json.dumps({
+        "metric": "fid_eval_wall_time_s",
+        "value": round(steady_s, 3), "unit": "s",
+        "first_call_s": round(first_s, 3),
+        "n_samples": n_samples, "img": int(cfg.train.img_size),
+        "keys": sorted(out.keys()),
+        "calibrated": metrics.calibrated,
     }))
 
 
@@ -198,6 +278,17 @@ def main():
     batches = jax.device_put(
         batches, pmesh.batch_sharding(mesh, folded=fold > 1))
 
+    # analytic FLOPs per dispatch from XLA's own cost model (captured before
+    # the run; the jit cache reuses this executable)
+    flops_per_dispatch = None
+    try:
+        cost = step.lower(state, batches, keys(0)).compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        flops_per_dispatch = float(cost["flops"])
+    except Exception:
+        pass
+
     # warm-up / compile; a host transfer (not just block_until_ready) is the
     # only reliable fence through the axon tunnel
     state, metrics = step(state, batches, keys(0))
@@ -209,22 +300,62 @@ def main():
     float(metrics["d_loss"])  # fetch forces the whole dependent chain
     dt = time.perf_counter() - t0
 
+    # device-trace superstep time (the tunnel-variance-free number) + MFU.
+    # BENCH_PROFILE=0 disables (CPU smoke runs skip it automatically).
+    device_ms = mfu = None
+    if (os.environ.get("BENCH_PROFILE", "1") != "0"
+            and jax.default_backend() == "tpu"):
+        try:
+            import shutil
+            from lightning_gan_zoo_tpu.utils.profiling import device_time_ms
+            trace_dir = f"/tmp/bench_trace/{expt}"
+            shutil.rmtree(trace_dir, ignore_errors=True)
+            prof_steps = 3
+            with jax.profiler.trace(trace_dir):
+                for i in range(prof_steps):
+                    state, metrics = step(state, batches, keys(1000 + i))
+                float(metrics["d_loss"])
+            device_ms = device_time_ms(trace_dir) / prof_steps / fold
+            kind = jax.devices()[0].device_kind.lower()
+            peak = next((v for k, v in PEAK_FLOPS_BY_KIND.items()
+                         if k in kind), None)
+            if peak and flops_per_dispatch and device_ms:
+                mfu = (flops_per_dispatch / fold) / (device_ms / 1e3) / peak
+        except Exception:
+            pass
+
     images_per_step = batch * n_micro * fold  # images consumed per dispatch
     ips = images_per_step * steps / dt
     ips_per_chip = ips / n_chips
     name = ("dcgan_celeba" if expt == "dc_gan" else expt)
-    print(json.dumps({
+    anchor = FAMILY_ANCHOR.get(expt, REFERENCE_IMAGES_PER_SEC)
+    row = {
         "metric": f"{name}{img}_train_images_per_sec_per_chip",
         "value": round(ips_per_chip, 2),
         "unit": "images/sec/chip",
-        "vs_baseline": round(ips_per_chip / REFERENCE_IMAGES_PER_SEC, 3),
+        "vs_baseline": (round(ips_per_chip / anchor, 3) if anchor else None),
         "batch": batch, "img": img,
         "disc_freq": df, "gen_freq": gf,
-    }))
+    }
+    if anchor is None:
+        row["baseline_note"] = ("no comparable reference baseline for NeRF "
+                                "volumetric families; see device_ms/mfu")
+    if device_ms is not None:
+        row["device_ms_per_superstep"] = round(device_ms, 3)
+        row["device_images_per_sec"] = round(
+            batch * n_micro / (device_ms / 1e3), 1)
+    if flops_per_dispatch is not None:
+        row["analytic_tflops_per_superstep"] = round(
+            flops_per_dispatch / fold / 1e12, 4)
+    if mfu is not None:
+        row["mfu"] = round(mfu, 4)
+    print(json.dumps(row))
 
 
 if __name__ == "__main__":
-    if os.environ.get("BENCH_EXPT"):
+    if os.environ.get("BENCH_FID"):
+        fid_eval_bench()
+    elif os.environ.get("BENCH_EXPT"):
         main()
     else:
         scoreboard()

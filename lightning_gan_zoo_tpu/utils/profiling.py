@@ -42,6 +42,72 @@ class StepTimer:
         self.times.clear()
 
 
+def _device_op_events(trace_dir: str | Path) -> list:
+    """'XLA Ops'-lane complete events of the newest trace.json.gz under
+    ``trace_dir`` (device pids only; excludes the 'XLA Modules'/'Steps'
+    summary lanes, which would double-count every op)."""
+    import glob
+    import gzip
+    import json
+
+    files = sorted(glob.glob(
+        f"{trace_dir}/plugins/profile/*/*trace.json.gz"), reverse=True)
+    if not files:
+        return []
+    with gzip.open(files[0]) as f:
+        data = json.load(f)
+    events = data.get("traceEvents", [])
+    pid_names = {e.get("pid"): e.get("args", {}).get("name", "")
+                 for e in events if e.get("ph") == "M"
+                 and e.get("name") == "process_name"}
+    device_pids = {p for p, name in pid_names.items()
+                   if "TPU" in str(name) or "/device" in str(name)}
+    tid_names = {(e.get("pid"), e.get("tid")):
+                 e.get("args", {}).get("name", "")
+                 for e in events if e.get("ph") == "M"
+                 and e.get("name") == "thread_name"}
+    return [e for e in events
+            if e.get("ph") == "X" and e.get("pid") in device_pids
+            and tid_names.get((e.get("pid"), e.get("tid"))) == "XLA Ops"]
+
+
+def device_op_times(trace_dir: str | Path) -> dict[str, tuple[float, int]]:
+    """Per-op device durations: {op_name: (total_us, count)}.
+
+    NOTE: fusion events nest (a parent fusion overlaps its sub-ops), so the
+    SUM over ops exceeds wall device time — use these for relative shares
+    and device_time_ms() for the honest total.
+
+    Shared by tools/profile_superstep.py (the per-op profile loop) and
+    bench.py (driver-captured device_ms_per_superstep / MFU rows)."""
+    out: dict[str, tuple[float, int]] = {}
+    for e in _device_op_events(trace_dir):
+        name = e.get("name", "?")
+        dur, cnt = out.get(name, (0.0, 0))
+        out[name] = (dur + float(e.get("dur", 0.0)), cnt + 1)
+    return out
+
+
+def device_time_ms(trace_dir: str | Path) -> float:
+    """Device busy time (ms) in the newest trace under dir: the union of
+    the op-lane event intervals (op events nest inside fusion parents, so a
+    plain sum would double-count ~2×)."""
+    spans = sorted((float(e["ts"]), float(e["ts"]) + float(e.get("dur", 0.0)))
+                   for e in _device_op_events(trace_dir))
+    total = 0.0
+    cur_s, cur_e = None, -1.0
+    for s, t in spans:
+        if cur_s is None or s > cur_e:
+            if cur_s is not None:
+                total += cur_e - cur_s
+            cur_s, cur_e = s, t
+        else:
+            cur_e = max(cur_e, t)
+    if cur_s is not None:
+        total += cur_e - cur_s
+    return total / 1e3
+
+
 class TraceCapture:
     """jax.profiler trace over the first N post-warmup supersteps."""
 

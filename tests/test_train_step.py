@@ -163,6 +163,48 @@ def test_g_ema_tracks_weighted_average():
     assert new_state.eval_g_params is new_state.g_ema
 
 
+@pytest.mark.parametrize("expt,accum", [("wgan", 1), ("hologan", 1),
+                                        ("dc_gan", 2)])
+def test_scanned_superstep_matches_unrolled(expt, accum):
+    """The scan-over-updates superstep (compile-time fix: one D update
+    compiled instead of disc_freq copies) matches the straight-line unrolled
+    form — params to float noise, metrics to 1e-5 — across a 5:1 critic
+    cycle (wgan), a 1:2 gen cycle (hologan), and grad accumulation."""
+    from lightning_gan_zoo_tpu.parallel.family_runs import (
+        build_family, make_family_batches)
+    from tests.conftest import CONF_DIR as CD
+
+    cfg, task = build_family(CD, expt, 4)
+    d_tx, g_tx = task.configure_optimizers(steps_per_epoch=4)
+    g_vars, d_vars = task.init(jax.random.PRNGKey(0))
+    st0 = create_train_state(g_vars, d_vars, g_tx, d_tx,
+                             extra=task.initial_extra())
+    df, gf = int(cfg.optimisation.disc_freq), int(cfg.optimisation.gen_freq)
+    n_micro = microbatch_count(df, gf, accum)
+    base = make_family_batches(cfg, expt, 4)
+    reps = -(-n_micro // base["image"].shape[0])
+    batch = jax.tree.map(
+        lambda x: jnp.concatenate([x] * reps, axis=0)[:n_micro], base)
+    scan_step = jax.jit(build_superstep(task, g_tx, d_tx, df, gf,
+                                        accum=accum))
+    unroll_step = jax.jit(build_superstep(task, g_tx, d_tx, df, gf,
+                                          accum=accum, unroll=True))
+    a_state, a_m = scan_step(st0, batch, jax.random.PRNGKey(1))
+    b_state, b_m = unroll_step(st0, batch, jax.random.PRNGKey(1))
+    assert set(a_m) == set(b_m)
+    for k in a_m:
+        np.testing.assert_allclose(float(a_m[k]), float(b_m[k]),
+                                   rtol=1e-5, atol=1e-6, err_msg=k)
+    for a, b in zip(jax.tree.leaves((a_state.g_params, a_state.d_params)),
+                    jax.tree.leaves((b_state.g_params, b_state.d_params))):
+        # XLA may fuse the unrolled copies differently (reduction-order
+        # noise that the optimizer amplifies); 1e-3 catches real bugs
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=1e-3)
+    assert int(a_state.step) == int(b_state.step) == n_micro
+    assert int(a_state.d_steps) == df and int(a_state.g_steps) == gf
+
+
 def test_folded_superstep_matches_sequential():
     """fold_steps: scanning K supersteps in one dispatch is bit-identical to
     K sequential dispatches when fed the same per-step keys/batches."""

@@ -10,12 +10,8 @@ Env:   PROF_EXTRA="k=v ..." extra config overrides.
 """
 from __future__ import annotations
 
-import glob
-import gzip
-import json
 import os
 import sys
-from collections import defaultdict
 from pathlib import Path
 
 REPO = Path(__file__).resolve().parent.parent
@@ -23,36 +19,22 @@ sys.path.insert(0, str(REPO))
 
 
 def top_ops(trace_dir: str, n: int = 28):
-    files = sorted(glob.glob(
-        f"{trace_dir}/plugins/profile/*/*trace.json.gz"), reverse=True)
-    if not files:
+    from lightning_gan_zoo_tpu.utils.profiling import (device_op_times,
+                                                       device_time_ms)
+
+    by_name = device_op_times(trace_dir)
+    if not by_name:
         print(f"no trace.json.gz under {trace_dir}")
         return
-    with gzip.open(files[0]) as f:
-        data = json.load(f)
-    events = data.get("traceEvents", [])
-    # keep device-lane complete events; aggregate duration by op name
-    by_name: dict[str, float] = defaultdict(float)
-    counts: dict[str, int] = defaultdict(int)
-    pid_names = {e.get("pid"): e.get("args", {}).get("name", "")
-                 for e in events if e.get("ph") == "M"
-                 and e.get("name") == "process_name"}
-    device_pids = {p for p, name in pid_names.items()
-                   if "TPU" in str(name) or "/device" in str(name)}
-    total = 0.0
-    for e in events:
-        if e.get("ph") != "X" or e.get("pid") not in device_pids:
-            continue
-        dur = float(e.get("dur", 0.0))
-        name = e.get("name", "?")
-        by_name[name] += dur
-        counts[name] += 1
-        total += dur
-    print(f"\n== top ops by device time (total {total/1e3:.2f} ms across "
-          f"{len(files)} trace(s), newest shown) ==")
-    for name, dur in sorted(by_name.items(), key=lambda kv: -kv[1])[:n]:
+    total = sum(d for d, _ in by_name.values())
+    busy = device_time_ms(trace_dir)
+    print(f"\n== top ops by device time (op-sum {total/1e3:.2f} ms — "
+          f"fusions nest, shares are relative; device busy {busy:.2f} ms; "
+          f"newest trace) ==")
+    for name, (dur, cnt) in sorted(by_name.items(),
+                                   key=lambda kv: -kv[1][0])[:n]:
         print(f"{dur/1e3:9.3f} ms {100*dur/max(total,1e-9):5.1f}%  "
-              f"x{counts[name]:<4d} {name[:110]}")
+              f"x{cnt:<4d} {name[:110]}")
 
 
 def main():
