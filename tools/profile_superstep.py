@@ -77,8 +77,12 @@ def main():
     state = pmesh.put_replicated(
         create_train_state(g_vars, d_vars, g_tx, d_tx,
                            extra=task.initial_extra()), mesh)
+    # PROF_UNROLL=1: straight-line superstep — the scanned form buries the
+    # per-phase update ops inside one opaque `while` trace event
     step = pmesh.shard_superstep(
-        build_superstep(task, g_tx, d_tx, df, gf), mesh, donate_state=True)
+        build_superstep(task, g_tx, d_tx, df, gf,
+                        unroll=os.environ.get("PROF_UNROLL") == "1"),
+        mesh, donate_state=True)
     n_micro = microbatch_count(df, gf)
     batches = {
         "image": jnp.asarray(np.random.default_rng(0).normal(
