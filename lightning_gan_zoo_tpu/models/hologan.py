@@ -32,6 +32,33 @@ from ..ops.grid_sample import trilinear_resample
 from .layers import AdaIN, ZMapping, conv_init
 
 
+def _use_fused_norm(mode: str, spatial: int, channels: int) -> bool:
+    """Gate for the fused instance-norm epilogue (ops/pallas/adain.py):
+    'auto' (TPU + eligible shape), 'always', 'never', 'interpret'
+    (CPU-testable kernel path). YAML 1.1 coerces bare on/off to bools."""
+    mode = {True: "always", False: "never"}.get(mode, mode)
+    if mode == "never":
+        return False
+    from ..ops.pallas.adain import eligible
+    ok = eligible(spatial, channels)
+    if mode in ("always", "interpret"):
+        return ok
+    return ok and jax.default_backend() == "tpu"
+
+
+def _adain_relu(h, s, b, mode: str, eps: float = 1e-8):
+    """AdaIN(h; s, b) + ReLU, fused into one Pallas epilogue when enabled
+    (identical parameterisation either way — AdaIN holds no params)."""
+    spatial = 1
+    for d in h.shape[1:-1]:
+        spatial *= d
+    if _use_fused_norm(mode, spatial, h.shape[-1]):
+        from ..ops.pallas.adain import fused_adain_act
+        return fused_adain_act(h, s, b, eps, 0.0, mode == "interpret")
+    h = AdaIN(epsilon=eps, dtype=h.dtype)(h, s, b)
+    return nn.relu(h)
+
+
 def sample_view(rng: jax.Array, batch_size: int, view_args) -> jax.Array:
     """Sample 6-dof views [theta, gamma, scale, tx, ty, tz] (radians) —
     reference sample_view (hologan_generator.py:80-114): integer-degree
@@ -168,6 +195,7 @@ def rigid_transform_project(voxels: jax.Array, view: jax.Array,
 class GenBlock3D(nn.Module):
     out_planes: int
     dtype: Any = jnp.float32
+    fused: str = "never"
 
     @nn.compact
     def __call__(self, h, z):
@@ -175,13 +203,13 @@ class GenBlock3D(nn.Module):
                              padding="SAME", dtype=self.dtype,
                              kernel_init=conv_init)(h)
         s, b = ZMapping(self.out_planes, dtype=self.dtype)(z)
-        h = AdaIN(epsilon=1e-8, dtype=self.dtype)(h, s, b)
-        return nn.relu(h)
+        return _adain_relu(h, s, b, self.fused)
 
 
 class GenBlock2D(nn.Module):
     out_planes: int
     dtype: Any = jnp.float32
+    fused: str = "never"
 
     @nn.compact
     def __call__(self, h, z):
@@ -189,8 +217,7 @@ class GenBlock2D(nn.Module):
                              padding="SAME", dtype=self.dtype,
                              kernel_init=conv_init)(h)
         s, b = ZMapping(self.out_planes, dtype=self.dtype)(z)
-        h = AdaIN(epsilon=1e-8, dtype=self.dtype)(h, s, b)
-        return nn.relu(h)
+        return _adain_relu(h, s, b, self.fused)
 
 
 class Generator(nn.Module):
@@ -201,6 +228,8 @@ class Generator(nn.Module):
     img_size: int = 64
     #: volume resample mode — see rigid_transform_volume
     resample: str = "auto"
+    #: fused AdaIN+ReLU epilogue kernel — see _use_fused_norm
+    fused_adain: str = "auto"
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -221,9 +250,11 @@ class Generator(nn.Module):
         x = jnp.broadcast_to(const, (b,) + const.shape[1:]).astype(self.dtype)
 
         s0, b0 = ZMapping(f * 8, dtype=self.dtype)(z)
-        h = nn.relu(AdaIN(epsilon=1e-8, dtype=self.dtype)(x, s0, b0))
-        h = GenBlock3D(f * 2, dtype=self.dtype)(h, z)   # 4³ → 8³
-        h = GenBlock3D(f, dtype=self.dtype)(h, z)       # 8³ → 16³
+        h = _adain_relu(x, s0, b0, self.fused_adain)
+        h = GenBlock3D(f * 2, dtype=self.dtype,
+                       fused=self.fused_adain)(h, z)    # 4³ → 8³
+        h = GenBlock3D(f, dtype=self.dtype,
+                       fused=self.fused_adain)(h, z)    # 8³ → 16³
 
         if self.resample == "shear":
             h = rigid_transform_volume(h, view_in, 16, 16,
@@ -242,8 +273,10 @@ class Generator(nn.Module):
         h = nn.Conv(f * 16, (1, 1), dtype=self.dtype,
                     kernel_init=conv_init)(h)
         h = nn.relu(h)
-        h = GenBlock2D(f * 4, dtype=self.dtype)(h, z)    # 16 → 32
-        h = GenBlock2D(f, dtype=self.dtype)(h, z)        # 32 → 64
+        h = GenBlock2D(f * 4, dtype=self.dtype,
+                       fused=self.fused_adain)(h, z)     # 16 → 32
+        h = GenBlock2D(f, dtype=self.dtype,
+                       fused=self.fused_adain)(h, z)     # 32 → 64
         if self.img_size == 128:
             h = nn.ConvTranspose(self.out_planes, (4, 4), strides=(2, 2),
                                  padding="SAME", dtype=self.dtype,
@@ -259,6 +292,7 @@ class DiscBlock(nn.Module):
     (hologan_discriminator.py:7-23)."""
     out_planes: int
     dtype: Any = jnp.float32
+    fused: str = "never"
 
     @nn.compact
     def __call__(self, x):
@@ -266,6 +300,11 @@ class DiscBlock(nn.Module):
         h = SpectralNormConv(self.out_planes, (5, 5), strides=(2, 2),
                              padding=[(2, 2), (2, 2)], dtype=self.dtype)(x)
         # InstanceNorm2d default affine=False in torch
+        if _use_fused_norm(self.fused, h.shape[1] * h.shape[2], h.shape[-1]):
+            from ..ops.pallas.adain import fused_adain_act
+            ones = jnp.ones((h.shape[0], h.shape[-1]), jnp.float32)
+            return fused_adain_act(h, ones, jnp.zeros_like(ones), 1e-5, 0.2,
+                                   self.fused == "interpret")
         mean = jnp.mean(h, axis=(1, 2), keepdims=True)
         var = jnp.var(h, axis=(1, 2), keepdims=True)
         h = (h - mean) * jax.lax.rsqrt(var + 1e-5)
@@ -276,6 +315,8 @@ class Discriminator(nn.Module):
     in_planes: int
     out_planes: int
     z_planes: int
+    #: fused InstanceNorm+LeakyReLU epilogue kernel — see _use_fused_norm
+    fused_norm: str = "auto"
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -284,9 +325,9 @@ class Discriminator(nn.Module):
         h = nn.Conv(f, (5, 5), strides=(2, 2), padding=[(2, 2), (2, 2)],
                     dtype=self.dtype, kernel_init=conv_init)(x)
         h = nn.leaky_relu(h, 0.2)
-        h = DiscBlock(f * 2, dtype=self.dtype)(h)
-        h = DiscBlock(f * 4, dtype=self.dtype)(h)
-        h = DiscBlock(f * 8, dtype=self.dtype)(h)
+        h = DiscBlock(f * 2, dtype=self.dtype, fused=self.fused_norm)(h)
+        h = DiscBlock(f * 4, dtype=self.dtype, fused=self.fused_norm)(h)
+        h = DiscBlock(f * 8, dtype=self.dtype, fused=self.fused_norm)(h)
         h = h.reshape(x.shape[0], -1)
         logit = nn.Dense(1, dtype=self.dtype, kernel_init=conv_init)(h)[:, 0]
         enc = nn.leaky_relu(nn.Dense(128, dtype=self.dtype,

@@ -301,11 +301,11 @@ def _packed(t, g):
     return t.reshape(b, h, w // g, g * c)
 
 
-def _fwd(x, w1, b1, w2, b2, interpret=False):
-    b, h, w, ci, th, g = _plan(x.shape, w1.shape[-1], w2.shape[-1])
-    fh, fo = w1.shape[-1], w2.shape[-1]
-    b1p = _pack_weight(w1.astype(jnp.bfloat16), b1.astype(jnp.bfloat16), g)
-    b2p = _pack_weight(w2.astype(jnp.bfloat16), b2.astype(jnp.bfloat16), g)
+def _fwd_inner(x, b1p, b2p, fh, fo, interpret):
+    """Packed-weight forward core: no captured constants, so it can lower
+    inside the batch partition (parallel/kernel_sharding.py) — the np
+    one-hot packing tables live in _pack_weight, called OUTSIDE."""
+    b, h, w, ci, th, g = _plan(x.shape, fh, fo)
     nj_w = w // g
     xs = _halo_specs(th, nj_w, g * ci)
     y = pl.pallas_call(
@@ -326,13 +326,19 @@ def _fwd(x, w1, b1, w2, b2, interpret=False):
     return y.reshape(b, h, w, fo)
 
 
-def _bwd(x, w1, b1, w2, b2, g_ct, interpret=False):
-    b, h, w, ci, th, g = _plan(x.shape, w1.shape[-1], w2.shape[-1])
-    fh, fo = w1.shape[-1], w2.shape[-1]
-    kp1, kp2 = _kdim(g, ci), _kdim(g, fh)
+def _fwd(x, w1, b1, w2, b2, interpret=False):
+    g = _block_group(x.shape[2], x.shape[3], w1.shape[-1], w2.shape[-1])
     b1p = _pack_weight(w1.astype(jnp.bfloat16), b1.astype(jnp.bfloat16), g)
-    b2tp = _pack_weight(_rot_t(w2).astype(jnp.bfloat16), None, g)
-    b1tp = _pack_weight(_rot_t(w1).astype(jnp.bfloat16), None, g)
+    b2p = _pack_weight(w2.astype(jnp.bfloat16), b2.astype(jnp.bfloat16), g)
+    return _fwd_inner(x, b1p, b2p, w1.shape[-1], w2.shape[-1], interpret)
+
+
+def _bwd_inner(x, g_ct, b1p, b2tp, b1tp, fh, fo, interpret):
+    """Packed-weight backward core (see _fwd_inner): returns dx plus the
+    PACKED weight-gradient partials — unpacking (np one-hot tables) and the
+    linear psum over batch shards both happen outside, and commute."""
+    b, h, w, ci, th, g = _plan(x.shape, fh, fo)
+    kp1, kp2 = _kdim(g, ci), _kdim(g, fh)
     nj_w = w // g
     xs = _halo_specs(th, nj_w, g * ci)
     gs = _halo_specs(th, nj_w, g * fo)
@@ -365,11 +371,20 @@ def _bwd(x, w1, b1, w2, b2, g_ct, interpret=False):
         ],
         interpret=interpret,
     )(xpk, xpk, xpk, gpk, gpk, gpk, b1p, b2tp, b1tp)
-    dw1, db1 = _unpack_dw(dw1p, g, ci, fh)
+    return dx.reshape(b, h, w, ci), dw1p, dw2p
+
+
+def _bwd(x, w1, b1, w2, b2, g_ct, interpret=False):
+    g = _block_group(x.shape[2], x.shape[3], w1.shape[-1], w2.shape[-1])
+    fh, fo = w1.shape[-1], w2.shape[-1]
+    b1p = _pack_weight(w1.astype(jnp.bfloat16), b1.astype(jnp.bfloat16), g)
+    b2tp = _pack_weight(_rot_t(w2).astype(jnp.bfloat16), None, g)
+    b1tp = _pack_weight(_rot_t(w1).astype(jnp.bfloat16), None, g)
+    dx, dw1p, dw2p = _bwd_inner(x, g_ct, b1p, b2tp, b1tp, fh, fo, interpret)
+    dw1, db1 = _unpack_dw(dw1p, g, x.shape[3], fh)
     dw2, db2 = _unpack_dw(dw2p, g, fh, fo)
-    return (dx.reshape(b, h, w, ci), dw1.astype(w1.dtype),
-            db1.astype(b1.dtype), dw2.astype(w2.dtype),
-            db2.astype(b2.dtype))
+    return (dx, dw1.astype(w1.dtype), db1.astype(b1.dtype),
+            dw2.astype(w2.dtype), db2.astype(b2.dtype))
 
 
 def plain_core(x, w1, b1, w2, b2):
@@ -383,10 +398,45 @@ def plain_core(x, w1, b1, w2, b2):
     return conv(_leaky(u), w2) + b2.astype(x.dtype)
 
 
+def _fwd_sharded(x, w1, b1, w2, b2, interpret):
+    # batch-partitioned under a mesh: each chip runs the fused block on its
+    # local batch shard, packed weights replicate
+    # (parallel/kernel_sharding.py; packing happens OUT here because its np
+    # one-hot tables would be constants the partition cannot carry)
+    from ...parallel.kernel_sharding import partition_by_batch
+    g = _block_group(x.shape[2], x.shape[3], w1.shape[-1], w2.shape[-1])
+    b1p = _pack_weight(w1.astype(jnp.bfloat16), b1.astype(jnp.bfloat16), g)
+    b2p = _pack_weight(w2.astype(jnp.bfloat16), b2.astype(jnp.bfloat16), g)
+    return partition_by_batch(
+        _fwd_inner, "b h w i, c d, e f -> b h w o",
+        statics=(w1.shape[-1], w2.shape[-1], interpret))(x, b1p, b2p)
+
+
+def _bwd_sharded(x, w1, b1, w2, b2, g_ct, interpret):
+    # packed weight-grad partials (results 1-2) are per-shard sums — psum'd
+    # inside the partition, exactly like XLA's own parameter gradients;
+    # unpacking is linear, so psum-then-unpack == unpack-then-psum
+    from ...parallel.kernel_sharding import partition_by_batch
+    g = _block_group(x.shape[2], x.shape[3], w1.shape[-1], w2.shape[-1])
+    fh, fo = w1.shape[-1], w2.shape[-1]
+    b1p = _pack_weight(w1.astype(jnp.bfloat16), b1.astype(jnp.bfloat16), g)
+    b2tp = _pack_weight(_rot_t(w2).astype(jnp.bfloat16), None, g)
+    b1tp = _pack_weight(_rot_t(w1).astype(jnp.bfloat16), None, g)
+    dx, dw1p, dw2p = partition_by_batch(
+        _bwd_inner, ("b h w i, b h w o, c d, e f, k m -> "
+                     "b h w i, p q, r s"),
+        reduced_out=(1, 2),
+        statics=(fh, fo, interpret))(x, g_ct, b1p, b2tp, b1tp)
+    dw1, db1 = _unpack_dw(dw1p, g, x.shape[3], fh)
+    dw2, db2 = _unpack_dw(dw2p, g, fh, fo)
+    return (dx, dw1.astype(w1.dtype), db1.astype(b1.dtype),
+            dw2.astype(w2.dtype), db2.astype(b2.dtype))
+
+
 # first-order backward op, itself differentiable (R1 grad-of-grad)
 @functools.partial(jax.custom_vjp, nondiff_argnums=(6,))
 def _core_bwd(x, w1, b1, w2, b2, g, interpret=False):
-    return _bwd(x, w1, b1, w2, b2, g, interpret=interpret)
+    return _bwd_sharded(x, w1, b1, w2, b2, g, interpret)
 
 
 def _core_bwd_fwd(x, w1, b1, w2, b2, g, interpret):
@@ -415,7 +465,7 @@ _core_bwd.defvjp(_core_bwd_fwd, _core_bwd_bwd)
 def fused_block_core(x, w1, b1, w2, b2, interpret=False):
     """conv3x3(leaky(conv3x3(leaky(x)) + b1)) + b2 as ONE fused TPU kernel
     (caller adds shortcut and the 0.1 residual scale, resnet.py:120)."""
-    return _fwd(x, w1, b1, w2, b2, interpret=interpret)
+    return _fwd_sharded(x, w1, b1, w2, b2, interpret)
 
 
 def _core_fwd_rule(x, w1, b1, w2, b2, interpret):
@@ -424,6 +474,13 @@ def _core_fwd_rule(x, w1, b1, w2, b2, interpret):
     # outer grad then choked on — keep the boundary instead
     return fused_block_core(x, w1, b1, w2, b2, interpret), \
         (x, w1, b1, w2, b2)
+
+
+def plain_core_grads(x, w1, b1, w2, b2, g):
+    """Reference first-order gradients via the plain-XLA core (test oracle
+    for the sharded backward)."""
+    _, vjp = jax.vjp(plain_core, x, w1, b1, w2, b2)
+    return vjp(g)
 
 
 def _core_bwd_rule(interpret, res, g):

@@ -184,6 +184,20 @@ def _pad_m(x, tile):
     return x, m
 
 
+_FWD_RULE = "b m i, i h, l p q, k r, b f s, b f t -> b m u"
+_BWD_RULE = ("b m i, i h, l p q, k r, b f s, b f t, b m u -> "
+             "b m i, i h, l p q, k r, b f s, b f t")
+
+
+def _fwd_sharded(x, w0k, wmid, bs, gammas, betas, w0s, interpret):
+    # batch-partitioned under a mesh: each chip runs its local batch of
+    # ray/point rows; weights replicate (parallel/kernel_sharding.py)
+    from ...parallel.kernel_sharding import partition_by_batch
+    return partition_by_batch(
+        _trunk_fwd_impl, _FWD_RULE,
+        statics=(tuple(w0s), interpret))(x, w0k, wmid, bs, gammas, betas)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7))
 def siren_trunk(x, w0k, wmid, bs, gammas, betas,
                 w0s: Tuple[float, ...], interpret: bool = False):
@@ -194,7 +208,7 @@ def siren_trunk(x, w0k, wmid, bs, gammas, betas,
     first n_film layers (layers ≥ n_film run unmodulated, statically).
     w0s: static per-layer sine frequencies, len L. Returns (B, M, H) bf16.
     """
-    return _trunk_fwd_impl(x, w0k, wmid, bs, gammas, betas, w0s, interpret)
+    return _fwd_sharded(x, w0k, wmid, bs, gammas, betas, w0s, interpret)
 
 
 def _trunk_fwd_impl(x, w0k, wmid, bs, gammas, betas, w0s, interpret):
@@ -231,12 +245,22 @@ def _trunk_fwd_impl(x, w0k, wmid, bs, gammas, betas, w0s, interpret):
 
 
 def _trunk_fwd_rule(x, w0k, wmid, bs, gammas, betas, w0s, interpret):
-    out = _trunk_fwd_impl(x, w0k, wmid, bs, gammas, betas, w0s, interpret)
+    out = _fwd_sharded(x, w0k, wmid, bs, gammas, betas, w0s, interpret)
     return out, (x, w0k, wmid, bs, gammas, betas)
 
 
 def _trunk_bwd_rule(w0s, interpret, res, dy):
     x, w0k, wmid, bs, gammas, betas = res
+    # weight grads (indices 1-3) are per-shard partial sums over the local
+    # batch rows — psum'd to the true gradient inside the partition
+    from ...parallel.kernel_sharding import partition_by_batch
+    return partition_by_batch(
+        _trunk_bwd_impl, _BWD_RULE, reduced_out=(1, 2, 3),
+        statics=(tuple(w0s), interpret))(x, w0k, wmid, bs, gammas, betas,
+                                         dy)
+
+
+def _trunk_bwd_impl(x, w0k, wmid, bs, gammas, betas, dy, w0s, interpret):
     b, m, cin = x.shape
     h = w0k.shape[1]
     L = bs.shape[0]

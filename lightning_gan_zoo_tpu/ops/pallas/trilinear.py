@@ -128,11 +128,13 @@ def _bwd_kernel(coords_ref, g_ref, dvox_ref, acc, *, d, h, w, c, n_tiles):
 
 
 def _pad_points(coords, tile):
-    b, n, _ = coords.shape
+    n = coords.shape[1]
     pad = (-n) % tile
     if pad:
-        coords = jnp.concatenate(
-            [coords, jnp.zeros((b, pad, 3), coords.dtype)], axis=1)
+        # lax.pad (not concatenate-with-zeros): a materialised zeros block
+        # would become a jaxpr constant, which the batch-partitioned
+        # lowering (parallel/kernel_sharding.py) cannot carry
+        coords = jnp.pad(coords, ((0, 0), (0, pad), (0, 0)))
     return coords, n
 
 
@@ -144,7 +146,7 @@ def _vox_to_plane_major(voxels):
     return v.reshape(b, h * w, d * c).astype(jnp.bfloat16)
 
 
-def _forward(voxels, coords, *, interpret=False):
+def _forward(voxels, coords, interpret=False):
     b, d, h, w, c = voxels.shape
     coords_p, n = _pad_points(coords.astype(jnp.float32), TILE_N)
     n_pad = coords_p.shape[1]
@@ -167,13 +169,14 @@ def _forward(voxels, coords, *, interpret=False):
     return out[:, :n].astype(voxels.dtype)
 
 
-def _backward_vox(coords, g, vox_shape, *, interpret=False):
-    b, d, h, w, c = vox_shape
+def _backward_vox(coords, g, d, h, w, c, interpret=False):
+    b = coords.shape[0]   # from the (possibly shard-local) array, NOT a
+    # static global shape — the batch-partitioned lowering runs this body
+    # per shard (parallel/kernel_sharding.py)
     coords_p, n = _pad_points(coords.astype(jnp.float32), TILE_N)
     n_pad = coords_p.shape[1]
     ct = jnp.swapaxes(coords_p, 1, 2)
-    g_p = jnp.zeros((b, n_pad, c), jnp.float32).at[:, :n].set(
-        g.astype(jnp.float32))
+    g_p = jnp.pad(g.astype(jnp.float32), ((0, 0), (0, n_pad - n), (0, 0)))
     n_tiles = n_pad // TILE_N
     dvox2 = pl.pallas_call(
         functools.partial(_bwd_kernel, d=d, h=h, w=w, c=c, n_tiles=n_tiles),
@@ -195,23 +198,41 @@ def _backward_vox(coords, g, vox_shape, *, interpret=False):
     return jnp.transpose(dvox, (0, 3, 1, 2, 4))
 
 
+def _fwd_sharded(voxels, coords, interpret):
+    # batch-partitioned under a mesh — each chip resamples its local batch
+    # shard (parallel/kernel_sharding.py); without this the partitioner
+    # all-gathers the full volume batch around the custom call
+    from ...parallel.kernel_sharding import partition_by_batch
+    return partition_by_batch(
+        _forward, "b d h w c, b n k -> b n c",
+        statics=(interpret,))(voxels, coords)
+
+
+def _bwd_sharded(coords, g, vox_shape, interpret):
+    from ...parallel.kernel_sharding import partition_by_batch
+    _, d, h, w, c = vox_shape
+    return partition_by_batch(
+        _backward_vox, "b n k, b n c -> b d h w c",
+        statics=(d, h, w, c, interpret))(coords, g)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
 def trilinear_resample_mxu(voxels, coords, interpret=False):
     """MXU trilinear resample. voxels (B,D,H,W,C), coords (B,N,3) in voxel
     units (x→W, y→H, z→D), border-clamped. Returns (B,N,C)."""
-    return _forward(voxels, coords, interpret=interpret)
+    return _fwd_sharded(voxels, coords, interpret)
 
 
 def _fwd_rule(voxels, coords, interpret):
     # residuals must be JAX types; keeping the (already-live) voxels buffer
     # costs nothing and carries shape+dtype for the backward pass
-    return _forward(voxels, coords, interpret=interpret), \
+    return _fwd_sharded(voxels, coords, interpret), \
         (coords, jax.lax.stop_gradient(voxels))
 
 
 def _bwd_rule(interpret, res, g):
     coords, voxels = res
-    dvox = _backward_vox(coords, g, voxels.shape, interpret=interpret)
+    dvox = _bwd_sharded(coords, g, voxels.shape, interpret)
     return dvox.astype(voxels.dtype), jnp.zeros_like(coords)
 
 

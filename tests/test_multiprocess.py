@@ -48,6 +48,14 @@ WORKER = textwrap.dedent("""
     mesh = pmesh.make_mesh(8)
     d_tx, g_tx = task.configure_optimizers(steps_per_epoch=4)
     g_vars, d_vars = task.init(jax.random.PRNGKey(0))
+
+    # Gloo's context init gives peers only ~30s to publish their KV
+    # entries; on a single-core box 4 time-sliced workers can skew past
+    # that during imports/instantiation. Align on the coordination
+    # service (plain RPC, generous timeout) before the first collective.
+    from jax._src import distributed as _dist
+    _dist.global_state.client.wait_at_barrier("lgzt_prestate", 300_000)
+
     state = pmesh.put_replicated(
         create_train_state(g_vars, d_vars, g_tx, d_tx,
                            extra=task.initial_extra()), mesh)

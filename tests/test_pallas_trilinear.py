@@ -56,7 +56,8 @@ def test_backward_accumulates_over_tiles():
     vox, pts = _setup(b=1, s=4, c=8, n=600, seed=3)
     g = jnp.asarray(np.random.default_rng(4).normal(size=(1, 600, 8)),
                     jnp.float32)
-    dvox = _backward_vox(pts, g, vox.shape, interpret=True)
+    _, d, h, w, c = vox.shape
+    dvox = _backward_vox(pts, g, d, h, w, c, interpret=True)
 
     def f_ref(v):
         return jnp.sum(trilinear_resample(v, pts) * g)
