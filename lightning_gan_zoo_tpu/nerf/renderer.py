@@ -218,6 +218,17 @@ class RadianceFieldRenderer(nn.Module):
         xy = rays_xy.reshape(b, -1, 2).astype(jnp.float32)
         n_rays = xy.shape[1]
 
+        # ray sharding: under a ('data','sp') mesh (num_sp > 1,
+        # parallel/mesh.py) the whole per-ray pipeline — SIREN field,
+        # raymarch, sample_pdf, sort, fine pass — partitions along the ray
+        # axis; XLA reshards to plain batch sharding at the image hand-off
+        # below. No-op on a plain data mesh or outside a mesh_context.
+        from ..parallel import mesh as pmesh
+        sp_active = (not self.is_initializing()) and pmesh.sp_size() > 1 \
+            and n_rays % pmesh.sp_size() == 0
+        if sp_active:
+            xy = pmesh.shard_rays(xy)
+
         origins, directions = world_rays_from_ndc(cameras, xy)
         dirs_n = directions / jnp.maximum(
             jnp.linalg.norm(directions, axis=-1, keepdims=True), 1e-12)
@@ -231,6 +242,20 @@ class RadianceFieldRenderer(nn.Module):
             depths = stratify_depths(self.make_rng("depth"), depths)
         fine_key = (self.make_rng("fine") if do_stratify
                     else jax.random.PRNGKey(0))
+
+        if sp_active:
+            # keep derived per-ray tensors pinned to the ray sharding (cheap
+            # belt-and-braces: propagation from xy already covers them) and
+            # skip lax.map tiling — the sp axis IS the ray partitioning,
+            # each chip holds n_rays/sp rays
+            origins = pmesh.shard_rays(origins)
+            dirs_n = pmesh.shard_rays(dirs_n)
+            depths = pmesh.shard_rays(depths)
+            rgba_f = self._render_core(self.rad_field, origins, dirs_n,
+                                       depths, z, fine_key, do_stratify,
+                                       **deform_kwargs)
+            rgba_f = pmesh.unshard_rays(rgba_f)
+            return rgba_f.reshape((b,) + spatial + (4,))
 
         chunk = int(self.chunk_size) if self.chunk_size else 0
         if self.is_initializing() or chunk <= 0 or n_rays <= chunk:

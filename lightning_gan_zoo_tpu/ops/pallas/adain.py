@@ -141,18 +141,18 @@ def _bwd(xf, scale, bias, gf, eps, slope, interpret):
 def _fwd_sharded(x, scale, bias, eps, slope, interpret):
     # batch-partitioned under a mesh (parallel/kernel_sharding.py): each
     # chip runs the kernel on its local batch shard — no all-gather
-    from ...parallel.kernel_sharding import partition_by_batch
+    from ...parallel.kernel_sharding import batch_partitioned
     xf, _, _ = _flatten(x)
-    y = partition_by_batch(
+    y = batch_partitioned(
         _fwd, "b s c, b c, b c -> b s c",
         statics=(eps, slope, interpret))(xf, scale, bias)
     return y.reshape(x.shape)
 
 
 def _bwd_sharded(x, scale, bias, g, eps, slope, interpret):
-    from ...parallel.kernel_sharding import partition_by_batch
+    from ...parallel.kernel_sharding import batch_partitioned
     xf, _, _ = _flatten(x)
-    dx, ds, db = partition_by_batch(
+    dx, ds, db = batch_partitioned(
         _bwd, "b s c, b c, b c, b s c -> b s c, b c, b c",
         statics=(eps, slope, interpret))(xf, scale, bias,
                                          g.reshape(xf.shape))

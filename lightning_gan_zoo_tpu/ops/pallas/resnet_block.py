@@ -403,11 +403,11 @@ def _fwd_sharded(x, w1, b1, w2, b2, interpret):
     # local batch shard, packed weights replicate
     # (parallel/kernel_sharding.py; packing happens OUT here because its np
     # one-hot tables would be constants the partition cannot carry)
-    from ...parallel.kernel_sharding import partition_by_batch
+    from ...parallel.kernel_sharding import batch_partitioned
     g = _block_group(x.shape[2], x.shape[3], w1.shape[-1], w2.shape[-1])
     b1p = _pack_weight(w1.astype(jnp.bfloat16), b1.astype(jnp.bfloat16), g)
     b2p = _pack_weight(w2.astype(jnp.bfloat16), b2.astype(jnp.bfloat16), g)
-    return partition_by_batch(
+    return batch_partitioned(
         _fwd_inner, "b h w i, c d, e f -> b h w o",
         statics=(w1.shape[-1], w2.shape[-1], interpret))(x, b1p, b2p)
 
@@ -416,13 +416,13 @@ def _bwd_sharded(x, w1, b1, w2, b2, g_ct, interpret):
     # packed weight-grad partials (results 1-2) are per-shard sums — psum'd
     # inside the partition, exactly like XLA's own parameter gradients;
     # unpacking is linear, so psum-then-unpack == unpack-then-psum
-    from ...parallel.kernel_sharding import partition_by_batch
+    from ...parallel.kernel_sharding import batch_partitioned
     g = _block_group(x.shape[2], x.shape[3], w1.shape[-1], w2.shape[-1])
     fh, fo = w1.shape[-1], w2.shape[-1]
     b1p = _pack_weight(w1.astype(jnp.bfloat16), b1.astype(jnp.bfloat16), g)
     b2tp = _pack_weight(_rot_t(w2).astype(jnp.bfloat16), None, g)
     b1tp = _pack_weight(_rot_t(w1).astype(jnp.bfloat16), None, g)
-    dx, dw1p, dw2p = partition_by_batch(
+    dx, dw1p, dw2p = batch_partitioned(
         _bwd_inner, ("b h w i, b h w o, c d, e f, k m -> "
                      "b h w i, p q, r s"),
         reduced_out=(1, 2),

@@ -192,8 +192,8 @@ _BWD_RULE = ("b m i, i h, l p q, k r, b f s, b f t, b m u -> "
 def _fwd_sharded(x, w0k, wmid, bs, gammas, betas, w0s, interpret):
     # batch-partitioned under a mesh: each chip runs its local batch of
     # ray/point rows; weights replicate (parallel/kernel_sharding.py)
-    from ...parallel.kernel_sharding import partition_by_batch
-    return partition_by_batch(
+    from ...parallel.kernel_sharding import batch_partitioned
+    return batch_partitioned(
         _trunk_fwd_impl, _FWD_RULE,
         statics=(tuple(w0s), interpret))(x, w0k, wmid, bs, gammas, betas)
 
@@ -253,8 +253,8 @@ def _trunk_bwd_rule(w0s, interpret, res, dy):
     x, w0k, wmid, bs, gammas, betas = res
     # weight grads (indices 1-3) are per-shard partial sums over the local
     # batch rows — psum'd to the true gradient inside the partition
-    from ...parallel.kernel_sharding import partition_by_batch
-    return partition_by_batch(
+    from ...parallel.kernel_sharding import batch_partitioned
+    return batch_partitioned(
         _trunk_bwd_impl, _BWD_RULE, reduced_out=(1, 2, 3),
         statics=(tuple(w0s), interpret))(x, w0k, wmid, bs, gammas, betas,
                                          dy)

@@ -202,16 +202,16 @@ def _fwd_sharded(voxels, coords, interpret):
     # batch-partitioned under a mesh — each chip resamples its local batch
     # shard (parallel/kernel_sharding.py); without this the partitioner
     # all-gathers the full volume batch around the custom call
-    from ...parallel.kernel_sharding import partition_by_batch
-    return partition_by_batch(
+    from ...parallel.kernel_sharding import batch_partitioned
+    return batch_partitioned(
         _forward, "b d h w c, b n k -> b n c",
         statics=(interpret,))(voxels, coords)
 
 
 def _bwd_sharded(coords, g, vox_shape, interpret):
-    from ...parallel.kernel_sharding import partition_by_batch
+    from ...parallel.kernel_sharding import batch_partitioned
     _, d, h, w, c = vox_shape
-    return partition_by_batch(
+    return batch_partitioned(
         _backward_vox, "b n k, b n c -> b d h w c",
         statics=(d, h, w, c, interpret))(coords, g)
 

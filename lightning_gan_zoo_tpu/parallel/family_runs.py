@@ -153,11 +153,13 @@ def family_loss_grads(conf_dir, family: str, mesh, batch: int,
     extra = jax.device_put(task.initial_extra(), rep)
     rng = jax.random.PRNGKey(seed + 23)
 
-    (d_loss, _), d_grads = jax.jit(jax.value_and_grad(
-        task.disc_loss, has_aux=True))(
+    # mesh_context so renderer-internal ray-sharding constraints (num_sp
+    # meshes) see the mesh during tracing, exactly as shard_superstep does
+    (d_loss, _), d_grads = jax.jit(pmesh.with_mesh_context(
+        jax.value_and_grad(task.disc_loss, has_aux=True), mesh))(
         d_params, g_params, g_state, d_state, micro, z, rng, extra)
-    (g_loss, _), g_grads = jax.jit(jax.value_and_grad(
-        task.gen_loss, has_aux=True))(
+    (g_loss, _), g_grads = jax.jit(pmesh.with_mesh_context(
+        jax.value_and_grad(task.gen_loss, has_aux=True), mesh))(
         g_params, d_params, g_state, d_state, micro, z, rng, extra)
     jax.block_until_ready((d_grads, g_grads))
     return {"d_loss": d_loss, "g_loss": g_loss,

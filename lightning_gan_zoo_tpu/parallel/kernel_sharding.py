@@ -40,10 +40,58 @@ def _terms(rule: str):
 
 
 def _spec(factors, mesh) -> P:
-    """dim 0 named 'b' → sharded over every mesh axis; all else replicated."""
-    if factors and factors[0] == "b":
-        return P(tuple(mesh.axis_names), *([None] * (len(factors) - 1)))
-    return P(*([None] * len(factors)))
+    """dim 0 named 'b' → sharded over the batch axes; factor 'm' (the
+    ray/row dim of the SIREN trunk) → sharded over the 'sp' ray axis when
+    the mesh has one (parallel/mesh.make_mesh(num_sp>1)); all else
+    replicated. On a plain 1-D mesh 'b' takes every axis (round-2
+    behavior)."""
+    names = tuple(mesh.axis_names)
+    batch_axes = ("data",) if "data" in names else names
+    sp_axes = ("sp",) if "sp" in names else ()
+    entries = []
+    for i, f in enumerate(factors):
+        if i == 0 and f == "b":
+            entries.append(batch_axes)
+        elif i == 1 and f == "m" and factors[0] == "b" and sp_axes:
+            # 'm' directly after 'b' is the ray/row dim (siren_trunk's
+            # "b m i" terms); 'm' elsewhere (e.g. a packed-weight "k m")
+            # stays replicated
+            entries.append(sp_axes)
+        else:
+            entries.append(None)
+    return P(*entries)
+
+
+def _reduce_axes(op_terms, mesh):
+    """Mesh axes that shard any input factor — exactly the axes a per-shard
+    partial sum (packed weight grad) must psum over. Axes that merely
+    replicate the kernel (e.g. 'sp' for an image-space kernel on a 2-D
+    mesh) hold FULL copies, not partials, and must not be reduced."""
+    used = []
+    for t in op_terms:
+        for entry in _spec(t, mesh):
+            if entry is None:
+                continue
+            for ax in (entry if isinstance(entry, tuple) else (entry,)):
+                if ax not in used:
+                    used.append(ax)
+    return tuple(used)
+
+
+def batch_partitioned(fn: Callable, rule: str,
+                      reduced_out: Tuple[int, ...] = (),
+                      statics: Tuple = ()):
+    """Trace-time gate around :func:`partition_by_batch`: the
+    custom_partitioning wrapper engages only when a multi-device
+    mesh_context is active (parallel/mesh.py — set by shard_superstep and
+    the sharding tests). Single-device and no-mesh traces call the kernel
+    directly, keeping the hardware-proven single-chip dispatch path
+    byte-identical to the unwrapped kernel."""
+    from . import mesh as pmesh
+    m = pmesh.current_mesh()
+    if m is None or m.devices.size <= 1:
+        return lambda *arrays: fn(*arrays, *statics)
+    return partition_by_batch(fn, rule, reduced_out, statics)
 
 
 @functools.lru_cache(maxsize=None)
@@ -74,11 +122,11 @@ def partition_by_batch(fn: Callable, rule: str,
 
     def partition(mesh, arg_shapes, result_shape):
         arg_sh = tuple(NamedSharding(mesh, _spec(t, mesh)) for t in op_terms)
-        axes = tuple(mesh.axis_names)
+        axes = _reduce_axes(op_terms, mesh)
 
         def lower(*arrays):
             out = fn(*arrays, *statics)
-            if reduced_out:
+            if reduced_out and axes:
                 out = list(out)
                 for i in reduced_out:
                     out[i] = jax.lax.psum(out[i], axes)

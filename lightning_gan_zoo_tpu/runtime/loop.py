@@ -72,9 +72,11 @@ class Trainer:
         # task (the LightningModule stand-in)
         self.task = instantiate(cfg.model.lm, cfg, str(self.logging_dir))
 
-        # device mesh (ICI data parallelism; reference: PL DDP over num_gpus)
+        # device mesh (ICI data parallelism; reference: PL DDP over num_gpus;
+        # num_sp>1 adds the ray-sharding axis for the NeRF families)
         n_dev = int(cfg.get("num_gpus", 1) or 1)
-        self.mesh = pmesh.make_mesh(min(n_dev, len(jax.devices())))
+        self.mesh = pmesh.make_mesh(min(n_dev, len(jax.devices())),
+                                    sp=int(cfg.get("num_sp", 1) or 1))
 
         # figures
         self.figures = self._build_figures()

@@ -16,6 +16,15 @@ def mesh():
     return Mesh(np.asarray(jax.devices()), ("data",))
 
 
+@pytest.fixture(autouse=True)
+def _mesh_ctx(mesh):
+    """partition_by_batch engages only under a multi-device mesh_context
+    (kernel_sharding.batch_partitioned) — enter it for every test here."""
+    from lightning_gan_zoo_tpu.parallel import mesh as pmesh
+    with pmesh.mesh_context(mesh):
+        yield
+
+
 def _shard(mesh, tree, specs):
     return jax.tree.map(
         lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), tree, specs,

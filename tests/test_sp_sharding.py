@@ -1,0 +1,136 @@
+"""Ray-sharding ('sp') mesh axis tests on the virtual 8-CPU mesh.
+
+TPU-native extra with no reference counterpart: the reference scales only by
+DDP batch splitting (/root/reference/run_network.py:66), which stalls at
+batch-size chips for the NeRF families (machine=local trains π-GAN at batch
+4, conf/machine/local.yaml). num_sp>1 reshapes the chips into a
+(data, sp) mesh and the renderer partitions each image's rays over 'sp'
+(nerf/renderer.py, parallel/mesh.py) — every per-ray stage (SIREN field,
+raymarch, sample_pdf, sort, fine pass) runs on 1/sp of the rays per chip,
+with XLA resharding to plain batch sharding at the image hand-off to D.
+
+Correctness contract pinned here: a (2 data × 4 sp) mesh computes the SAME
+losses and gradients as a single device.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from tests.conftest import CONF_DIR
+from lightning_gan_zoo_tpu.parallel import mesh as pmesh
+from lightning_gan_zoo_tpu.parallel.family_runs import (family_loss_grads,
+                                                        run_family_superstep)
+
+
+def test_make_mesh_sp_shape():
+    mesh = pmesh.make_mesh(8, sp=4)
+    assert mesh.axis_names == ("data", "sp")
+    assert mesh.shape["data"] == 2 and mesh.shape["sp"] == 4
+    with pytest.raises(ValueError):
+        pmesh.make_mesh(8, sp=3)
+    # sp=1 keeps the round-2 1-D mesh
+    assert pmesh.make_mesh(8, sp=1).axis_names == ("data",)
+
+
+def test_shard_rays_constraint_applies():
+    """shard_rays inside a jit under mesh_context actually pins the
+    (batch, rays, ...) layout to data × sp."""
+    mesh = pmesh.make_mesh(8, sp=4)
+    x = jnp.zeros((4, 64, 3))
+
+    out = jax.jit(pmesh.with_mesh_context(pmesh.shard_rays, mesh))(x)
+    spec = out.sharding.spec
+    assert tuple(spec)[:2] == ("data", "sp"), spec
+
+    # no-op outside a mesh context, on a plain data mesh, and for an
+    # indivisible ray count (constraint skipped, not an error)
+    assert pmesh.shard_rays(x) is x
+    mesh1 = pmesh.make_mesh(8)
+    jax.jit(pmesh.with_mesh_context(pmesh.shard_rays, mesh1))(x)
+    jax.jit(pmesh.with_mesh_context(pmesh.shard_rays, mesh))(
+        jnp.zeros((4, 63, 3)))
+
+
+@pytest.mark.parametrize("family", ["pigan", "anigan"])
+def test_sp_superstep_matches_single_device(family):
+    """(2 data × 4 sp) superstep losses + init-param loss gradients match
+    single-device execution — the strict equivalence the ray partitioning
+    must preserve (same contract as tests/test_sharding.py for DP)."""
+    mesh_sp = pmesh.make_mesh(8, sp=4)
+    state_sp, m_sp = run_family_superstep(CONF_DIR, family, mesh_sp, batch=8)
+    for k, v in m_sp.items():
+        assert np.isfinite(float(v)), f"{family} metric {k} not finite"
+    leaf = jax.tree_util.tree_leaves(state_sp.g_params)[0]
+    assert leaf.sharding.is_fully_replicated
+
+    mesh1 = pmesh.make_mesh(1)
+    state1, m1 = run_family_superstep(CONF_DIR, family, mesh1, batch=8)
+    for k in m_sp:
+        np.testing.assert_allclose(float(m1[k]), float(m_sp[k]), rtol=2e-3,
+                                   atol=1e-5, err_msg=f"{family}:{k}")
+
+    g_sp = family_loss_grads(CONF_DIR, family, mesh_sp, batch=8)
+    g1 = family_loss_grads(CONF_DIR, family, mesh1, batch=8)
+    np.testing.assert_allclose(float(g1["d_loss"]), float(g_sp["d_loss"]),
+                               rtol=1e-4, err_msg=family)
+    np.testing.assert_allclose(float(g1["g_loss"]), float(g_sp["g_loss"]),
+                               rtol=1e-4, err_msg=family)
+    for side in ("d_grads", "g_grads"):
+        for (path, a), (_, b) in zip(
+                jax.tree_util.tree_leaves_with_path(g1[side]),
+                jax.tree_util.tree_leaves_with_path(g_sp[side])):
+            a, b = np.asarray(a), np.asarray(b)
+            tol = 1e-3 * max(1.0, float(np.abs(a).max()))
+            np.testing.assert_allclose(
+                b, a, atol=tol,
+                err_msg=f"{family}:{side}{jax.tree_util.keystr(path)}")
+
+
+def test_sp_mesh_harmless_for_2d_family():
+    """A 2-D mesh with an idle sp axis must not corrupt an image-space
+    family superstep (losses match single-device)."""
+    mesh_sp = pmesh.make_mesh(8, sp=2)
+    _, m_sp = run_family_superstep(CONF_DIR, "gan_stability_r1", mesh_sp,
+                                   batch=8)
+    _, m1 = run_family_superstep(CONF_DIR, "gan_stability_r1",
+                                 pmesh.make_mesh(1), batch=8)
+    for k in m_sp:
+        np.testing.assert_allclose(float(m1[k]), float(m_sp[k]), rtol=2e-3,
+                                   atol=1e-5, err_msg=k)
+
+
+def test_idle_sp_axis_does_not_overcount_kernel_weight_grads():
+    """An image-space Pallas kernel on a 2-D mesh replicates over the idle
+    'sp' axis: its psum'd weight-grad partials must cover ONLY the axes
+    that shard inputs (parallel/kernel_sharding._reduce_axes) — a psum over
+    all mesh axes would multiply the gradient by sp."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from lightning_gan_zoo_tpu.ops.pallas.resnet_block import (
+        fused_block_core, plain_core)
+
+    mesh = pmesh.make_mesh(8, sp=2)           # data=4 shards b, sp idles
+    k = jax.random.split(jax.random.PRNGKey(3), 5)
+    x = jax.random.normal(k[0], (8, 8, 8, 16)) * 0.5
+    w1 = jax.random.normal(k[1], (3, 3, 16, 16)) * 0.1
+    b1 = jax.random.normal(k[2], (16,)) * 0.1
+    w2 = jax.random.normal(k[3], (3, 3, 16, 16)) * 0.1
+    b2 = jax.random.normal(k[4], (16,)) * 0.1
+
+    def loss(fn, *a):
+        return jnp.sum(fn(*a) ** 2)
+
+    bsh = NamedSharding(mesh, P("data"))
+    rep = NamedSharding(mesh, P())
+    with pmesh.mesh_context(mesh):
+        gs = jax.jit(
+            jax.grad(lambda *a: loss(
+                lambda x, w1, b1, w2, b2: fused_block_core(x, w1, b1, w2, b2,
+                                                           True), *a),
+                     argnums=(1, 3)),
+            in_shardings=(bsh, rep, rep, rep, rep))(x, w1, b1, w2, b2)
+    gr = jax.grad(lambda *a: loss(plain_core, *a), argnums=(1, 3))(
+        x, w1, b1, w2, b2)
+    for got, want in zip(gs, gr):
+        scale = max(1.0, float(jnp.max(jnp.abs(want))))
+        np.testing.assert_allclose(np.asarray(got) / scale,
+                                   np.asarray(want) / scale, atol=6e-2)
