@@ -86,6 +86,65 @@ def test_sp_superstep_matches_single_device(family):
                 err_msg=f"{family}:{side}{jax.tree_util.keystr(path)}")
 
 
+def test_sp_folded_superstep_matches_sequential():
+    """train.fold_steps defaults to 8 for pigan/anigan (the dispatch-bound
+    volumetric families) — so the PRODUCTION sp path is folded. Pin the
+    composition: the folded megastep on the (2 data × 4 sp) mesh matches
+    sequential sharded supersteps (same on-device key derivation), and the
+    single-device run."""
+    from lightning_gan_zoo_tpu.parallel.family_runs import (
+        build_family, make_family_batches)
+    from lightning_gan_zoo_tpu.runtime.state import create_train_state
+    from lightning_gan_zoo_tpu.runtime.steps import (build_folded_superstep,
+                                                     build_superstep,
+                                                     microbatch_count)
+
+    batch, fold = 8, 2
+    cfg, task = build_family(CONF_DIR, "pigan", batch, num_devices=8)
+    d_tx, g_tx = task.configure_optimizers(steps_per_epoch=4)
+    g_vars, d_vars = task.init(jax.random.PRNGKey(0))
+    raw = build_superstep(task, g_tx, d_tx,
+                          int(cfg.optimisation.disc_freq),
+                          int(cfg.optimisation.gen_freq))
+    n_micro = microbatch_count(int(cfg.optimisation.disc_freq),
+                               int(cfg.optimisation.gen_freq))
+    one = make_family_batches(cfg, "pigan", batch, seed=5)
+    stacked = jax.tree.map(
+        lambda x: jnp.broadcast_to(x[None], (fold,) + x.shape), one)
+    root, base = jax.random.PRNGKey(7), 3
+
+    def fresh():
+        return create_train_state(g_vars, d_vars, g_tx, d_tx,
+                                  extra=task.initial_extra())
+
+    losses = {}
+    for name, mesh in (("sp", pmesh.make_mesh(8, sp=4)),
+                       ("one", pmesh.make_mesh(1))):
+        # sequential
+        s = pmesh.put_replicated(fresh(), mesh)
+        seq = pmesh.shard_superstep(raw, mesh, donate_state=False)
+        for i in range(fold):
+            b = jax.device_put(jax.tree.map(lambda x: x[i], stacked),
+                               pmesh.batch_sharding(mesh))
+            s, m = seq(s, b, jax.random.fold_in(root, base + i * n_micro))
+        losses[f"{name}_seq"] = {k: float(v) for k, v in m.items()}
+        # folded
+        sf = pmesh.put_replicated(fresh(), mesh)
+        folded = pmesh.shard_superstep(build_folded_superstep(raw, fold),
+                                       mesh, donate_state=False, folded=True)
+        bb = jax.device_put(stacked, pmesh.batch_sharding(mesh, folded=True))
+        sf, mf = folded(sf, bb, (root, jnp.int32(base)))
+        for a, b in zip(jax.tree.leaves(s.g_params),
+                        jax.tree.leaves(sf.g_params)):
+            np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                       rtol=2e-4, atol=1e-5,
+                                       err_msg=f"{name}: folded != seq")
+
+    for k, v in losses["sp_seq"].items():
+        np.testing.assert_allclose(losses["one_seq"][k], v, rtol=2e-3,
+                                   atol=1e-5, err_msg=f"sp vs 1dev: {k}")
+
+
 def test_sp_mesh_harmless_for_2d_family():
     """A 2-D mesh with an idle sp axis must not corrupt an image-space
     family superstep (losses match single-device)."""
