@@ -20,24 +20,52 @@ import orbax.checkpoint as ocp
 
 class CheckpointManager:
     def __init__(self, ckpt_dir: Optional[str | Path],
-                 save_ckpts: bool = True):
+                 save_ckpts: bool = True, async_save: bool = False):
         """``ckpt_dir=None`` builds a restore-only manager (``save_ckpts``
-        is forced off); saving requires a directory."""
+        is forced off); saving requires a directory.
+
+        ``async_save=True`` (cfg ``save_ckpts_async``) commits checkpoints
+        in a background thread: ``save_best`` returns as soon as the state
+        is snapshot off the device buffers (safe w.r.t. donated superstep
+        buffers — orbax blocks until device memory is copied out) and the
+        serialisation/fsync overlaps the next training epochs. The deferred
+        ``train_meta.json`` is written when the commit lands (next save or
+        :meth:`finalize`). Standard large-scale-TPU practice; the reference
+        has no counterpart (PL ModelCheckpoint saves synchronously)."""
         if ckpt_dir is None:
             save_ckpts = False
         self.dir = Path(ckpt_dir) if ckpt_dir is not None else None
         self.save_ckpts = save_ckpts
-        self._ckptr = ocp.StandardCheckpointer()
+        self.async_save = bool(async_save)
+        self._ckptr = (ocp.AsyncCheckpointer(ocp.StandardCheckpointHandler())
+                       if self.async_save else ocp.StandardCheckpointer())
+        # restores always go through the synchronous convenience API (the
+        # async wrapper's restore signature differs)
+        self._restorer = (ocp.StandardCheckpointer() if self.async_save
+                          else self._ckptr)
+        self._pending_meta: Optional[Tuple[Path, dict]] = None
         if save_ckpts:
             self.dir.mkdir(parents=True, exist_ok=True)
 
     # -- save ---------------------------------------------------------------
+    def _flush_pending(self):
+        """Block until an in-flight async commit lands, then write its
+        deferred metadata (the checkpoint dir only exists post-commit)."""
+        self._ckptr.wait_until_finished()
+        if self._pending_meta is not None:
+            path, info = self._pending_meta
+            self._pending_meta = None
+            (path / "train_meta.json").write_text(json.dumps(info))
+
     def save_best(self, state, *, epoch: int, fid: Optional[float],
                   meta: Optional[dict] = None):
         """Keep exactly one best checkpoint, named like the reference's
         model_best-{fid:.2f}."""
         if not self.save_ckpts:
             return
+        # serialise saves: the previous commit must land before its
+        # directory can be considered for retention cleanup
+        self._flush_pending()
         tag = f"model_best-{fid:.2f}" if fid is not None else \
             f"model_epoch-{epoch}"
         path = (self.dir / tag).absolute()
@@ -46,10 +74,21 @@ class CheckpointManager:
                 shutil.rmtree(old, ignore_errors=True)
         if path.exists():
             shutil.rmtree(path)
+        info = {"epoch": epoch, "fid": fid, **(meta or {})}
+        if self.async_save:
+            # hand orbax the live (possibly device) arrays: it snapshots
+            # them before returning, then commits in the background
+            self._ckptr.save(path, state)
+            self._pending_meta = (path, info)
+            return
         self._ckptr.save(path, jax.device_get(state))
         self._ckptr.wait_until_finished()
-        info = {"epoch": epoch, "fid": fid, **(meta or {})}
         (path / "train_meta.json").write_text(json.dumps(info))
+
+    def finalize(self):
+        """Block until any in-flight async save is fully committed (call at
+        the end of training / before reading the checkpoint back)."""
+        self._flush_pending()
 
     # -- restore ------------------------------------------------------------
     @staticmethod
@@ -67,7 +106,8 @@ class CheckpointManager:
         return ckpts[0] if ckpts else None
 
     def restore(self, path: Path, target) -> Tuple[Any, dict]:
-        state = self._ckptr.restore(Path(path).absolute(), target=target)
+        self._flush_pending()
+        state = self._restorer.restore(Path(path).absolute(), target=target)
         meta_path = Path(path) / "train_meta.json"
         meta = json.loads(meta_path.read_text()) if meta_path.exists() else {}
         return state, meta

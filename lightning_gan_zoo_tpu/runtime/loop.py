@@ -83,9 +83,10 @@ class Trainer:
 
         # checkpointing: new checkpoints land in THIS run's dir;
         # cfg.train.ckpt_dir is only scanned for resume (run_network.py:19-23)
-        self.ckpt = CheckpointManager(self.logging_dir / "ckpts",
-                                      save_ckpts=bool(cfg.get("save_ckpts",
-                                                              True)))
+        self.ckpt = CheckpointManager(
+            self.logging_dir / "ckpts",
+            save_ckpts=bool(cfg.get("save_ckpts", True)),
+            async_save=bool(cfg.get("save_ckpts_async", False)))
 
         # FID/KID evaluator (on-device, lazy)
         self.metrics_eval = None
@@ -339,6 +340,7 @@ class Trainer:
             self.epoch += 1
             if fast_dev_run:
                 break
+        self.ckpt.finalize()   # land any in-flight async checkpoint commit
         self.trace.close()
         self.logger.flush()
 
@@ -405,8 +407,12 @@ class Trainer:
         if fid is None or fid < self.best_fid:
             if fid is not None:
                 self.best_fid = fid
-            self.ckpt.save_best(jax.device_get(self.state), epoch=self.epoch,
-                                fid=fid)
+            # async mode hands orbax the live arrays (it snapshots them off
+            # the device before returning; the commit overlaps training)
+            self.ckpt.save_best(
+                self.state if self.ckpt.async_save
+                else jax.device_get(self.state),
+                epoch=self.epoch, fid=fid)
 
 
 def _print_shapes(task):

@@ -100,6 +100,36 @@ def test_best_fid_retention(tmp_path):
     assert not (tmp_path / "model_best-12.35").exists()  # old best pruned
 
 
+def test_async_checkpoint_roundtrip_and_retention(tmp_path):
+    """save_ckpts_async: the background commit must land (finalize), write
+    the deferred train_meta.json, survive retention across saves, and
+    restore bit-identically — including from live jax arrays."""
+    import json
+
+    mgr = CheckpointManager(tmp_path, save_ckpts=True, async_save=True)
+    state = {"w": jnp.arange(4, dtype=jnp.float32),
+             "b": jnp.ones((2, 3), jnp.bfloat16)}
+    mgr.save_best(state, epoch=0, fid=12.3456)   # returns pre-commit
+    mgr.save_best(state, epoch=1, fid=8.1)       # flushes the first commit
+    mgr.finalize()
+    assert (tmp_path / "model_best-8.10").exists()
+    assert not (tmp_path / "model_best-12.35").exists()
+    meta = json.loads(
+        (tmp_path / "model_best-8.10" / "train_meta.json").read_text())
+    assert meta["epoch"] == 1 and abs(meta["fid"] - 8.1) < 1e-9
+
+    restored, meta2 = mgr.restore(
+        tmp_path / "model_best-8.10",
+        target={"w": jnp.zeros(4, jnp.float32),
+                "b": jnp.zeros((2, 3), jnp.bfloat16)})
+    assert meta2["epoch"] == 1
+    np.testing.assert_array_equal(np.asarray(restored["w"]),
+                                  np.asarray(state["w"]))
+    np.testing.assert_array_equal(
+        np.asarray(restored["b"], np.float32),
+        np.asarray(state["b"], np.float32))
+
+
 def test_compose_unknown_group_choice_error():
     with pytest.raises(ComposeError):
         compose(CONF_DIR, ["dataset=not_a_dataset"])
