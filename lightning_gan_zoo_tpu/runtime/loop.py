@@ -237,14 +237,23 @@ class Trainer:
         state = create_train_state(g_vars, d_vars, g_tx, d_tx,
                                    extra=self.task.initial_extra(),
                                    ema=self._ema_decay() > 0)
-        resume_path = CheckpointManager.find_ckpt(
-            self.cfg.train.get("ckpt_dir"))
+        ckpt_dir = self.cfg.train.get("ckpt_dir")
+        resume_path = CheckpointManager.find_ckpt(ckpt_dir)
+        if ckpt_dir:
+            # a preemption rescue (ckpts_rescue/ sibling, written by the
+            # SIGTERM handler in fit) carries the NEWEST state — prefer it
+            # over the best-FID checkpoint
+            rescue_path = CheckpointManager.find_ckpt(
+                Path(ckpt_dir).parent / "ckpts_rescue")
+            if rescue_path is not None:
+                resume_path = rescue_path
         if resume_path is not None:
             print(f"Resuming from {resume_path}")
             state, meta = self.ckpt.restore(resume_path,
                                             jax.device_get(state))
             self.epoch = int(meta.get("epoch", 0)) + 1
-            self.best_fid = float(meta.get("fid") or float("inf"))
+            self.best_fid = float(meta.get("best_fid") or meta.get("fid")
+                                  or float("inf"))
             # fast-forward epoch-scheduled knobs (resolution, batch size)
             # without resetting the restored progressive-growing alpha
             for e in range(self.epoch + 1):
@@ -257,6 +266,28 @@ class Trainer:
     def fit(self):
         fast_dev_run = bool(self.cfg.debug.get("fast_dev_run", False))
         num_epochs = 1 if fast_dev_run else int(self.cfg.train.num_epochs)
+
+        # preemption-safe rescue: SIGTERM (TPU-VM preemption / SLURM kill)
+        # and SIGUSR1 (SLURM's configurable pre-termination warning) set a
+        # flag; the superstep loop drains the in-flight dispatch, saves the
+        # CURRENT state to ckpts_rescue/ and exits cleanly. Resume prefers
+        # the rescue over the best-FID checkpoint (reference counterpart:
+        # submitit requeue + resume_from_checkpoint, run_network.py:61,71 —
+        # which can only recover the last *validated* state)
+        import signal
+        self._preempted = False
+
+        def _on_term(signum, frame):
+            print(f"[rescue] caught signal {signum}; will checkpoint and "
+                  "exit at the next superstep boundary", flush=True)
+            self._preempted = True
+
+        _old_handlers = []
+        for _sig in (signal.SIGTERM, signal.SIGUSR1):
+            try:
+                _old_handlers.append((_sig, signal.signal(_sig, _on_term)))
+            except (ValueError, OSError):   # non-main thread etc.
+                pass
 
         loader = self._make_train_loader()
         # epoch-based LR schedules count SUPERSTEPS per epoch; with
@@ -318,7 +349,7 @@ class Trainer:
                 self.trace.tick()
                 for k, v in metrics.items():
                     epoch_metrics.setdefault(f"train/{k}", []).append(v)
-                if fast_dev_run:
+                if fast_dev_run or self._preempted:
                     break
 
             global_step = int(self.state.step)  # fences the epoch's chain
@@ -333,6 +364,21 @@ class Trainer:
                                 for k, v in means.items())
             print(f"epoch {self.epoch} [{dt:.1f}s] {loss_str}")
 
+            if self._preempted:
+                # the interrupted epoch counts as completed (its remaining
+                # batches are skipped on resume — same epoch-granular
+                # approximation as the LR-schedule horizons above)
+                rescue = CheckpointManager(
+                    self.logging_dir / "ckpts_rescue", save_ckpts=True)
+                rescue.save_best(jax.device_get(self.state),
+                                 epoch=self.epoch, fid=None,
+                                 meta={"rescue": True,
+                                       "best_fid": self.best_fid})
+                print(f"[rescue] checkpointed epoch {self.epoch} "
+                      f"(step {global_step}) to "
+                      f"{self.logging_dir / 'ckpts_rescue'}; exiting")
+                break
+
             if (self.epoch % int(self.cfg.val.get("every_n_epochs", 1)) == 0
                     or fast_dev_run):
                 self.validate(global_step)
@@ -340,6 +386,8 @@ class Trainer:
             self.epoch += 1
             if fast_dev_run:
                 break
+        for _sig, _h in _old_handlers:
+            signal.signal(_sig, _h)
         self.ckpt.finalize()   # land any in-flight async checkpoint commit
         self.trace.close()
         self.logger.flush()
