@@ -58,8 +58,34 @@ FAMILIES = ("dc_gan", "wgan", "wgan_gp", "gan_stability_r1", "hologan",
             "pigan", "anigan")
 
 
+def _preflight(timeout_s: float = 90.0):
+    """Probe backend init in a short-lived subprocess. When the axon tunnel
+    endpoint is dead, EVERY jax process (even JAX_PLATFORMS=cpu) hangs at
+    backend init — without this probe the scoreboard would burn
+     8 x BENCH_FAMILY_TIMEOUT before reporting anything."""
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; d=jax.devices(); print('OK', d[0].platform)"],
+            capture_output=True, text=True, timeout=timeout_s)
+        if proc.returncode == 0 and "OK" in proc.stdout:
+            return None
+        return f"backend probe rc={proc.returncode}: {proc.stderr[-200:]}"
+    except subprocess.TimeoutExpired:
+        return (f"backend init hung >{timeout_s:.0f}s "
+                "(axon tunnel endpoint down?)")
+
+
 def scoreboard():
     """Run every family in a subprocess; emit one driver-parseable line."""
+    err = _preflight()
+    if err is not None:
+        print(f"# preflight failed: {err}", file=sys.stderr)
+        print(json.dumps({
+            "metric": "dcgan_celeba64_train_images_per_sec_per_chip",
+            "value": None, "unit": "images/sec/chip", "vs_baseline": None,
+            "error": f"preflight: {err}"}))
+        return
     timeout = float(os.environ.get("BENCH_FAMILY_TIMEOUT", 1200))
     rows = {}
     for fam in FAMILIES:
