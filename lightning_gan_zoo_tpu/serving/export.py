@@ -33,16 +33,42 @@ import jax.numpy as jnp
 from jax import export as jexport
 
 
-def build_exported_generator(task, g_params, g_state, extra, batch: int):
-    """jax.export the task's eval-mode generate() with params baked in."""
+VIEW_DIM = 6   # [azimuth, elevation, scale, tx, ty, tz] (figures/types.py)
+
+
+def build_exported_generator(task, g_params, g_state, extra, batch: int,
+                             pose: bool = False):
+    """jax.export the task's eval-mode generate() with params baked in.
+
+    ``pose=True`` exports a POSE-CONDITIONED callable ``(z, view_in, seed)``
+    for the view-conditioned families (hologan/pigan): ``view_in`` is a
+    (batch, 6) pose row [azimuth_rad, elevation_rad, scale, tx, ty, tz] —
+    the serving-time counterpart of the reference's azimuth/elevation
+    figure sweeps (core/figures/types.py:182-359). Default export keeps
+    the (z, seed) signature with internally sampled views."""
     z_dim = int(task.noise_dim)
 
-    def gen(z, seed):
-        key = jax.random.PRNGKey(seed)
-        return task.generate(g_params, g_state, z, rng=key, extra=extra)
+    if pose:
+        if not hasattr(task, "sample_view"):
+            raise ValueError(
+                f"serving.pose=true needs a view-conditioned family; "
+                f"{type(task).__name__} samples no views")
 
-    args = (jax.ShapeDtypeStruct((batch, z_dim), jnp.float32),
-            jax.ShapeDtypeStruct((), jnp.int32))
+        def gen(z, view_in, seed):
+            key = jax.random.PRNGKey(seed)
+            return task.generate(g_params, g_state, z, rng=key, extra=extra,
+                                 view_in=view_in)
+
+        args = (jax.ShapeDtypeStruct((batch, z_dim), jnp.float32),
+                jax.ShapeDtypeStruct((batch, VIEW_DIM), jnp.float32),
+                jax.ShapeDtypeStruct((), jnp.int32))
+    else:
+        def gen(z, seed):
+            key = jax.random.PRNGKey(seed)
+            return task.generate(g_params, g_state, z, rng=key, extra=extra)
+
+        args = (jax.ShapeDtypeStruct((batch, z_dim), jnp.float32),
+                jax.ShapeDtypeStruct((), jnp.int32))
     try:  # multi-platform artifact (runs on TPU serving fleets AND CPU)
         return jexport.export(jax.jit(gen), platforms=("tpu", "cpu"))(
             *args), None
@@ -57,7 +83,8 @@ def build_exported_generator(task, g_params, g_state, extra, batch: int):
 
 
 def export_generator(conf_dir, overrides: Sequence[str], batch: int,
-                     out_path, ckpt: Optional[str] = None, seed: int = 0):
+                     out_path, ckpt: Optional[str] = None, seed: int = 0,
+                     pose: bool = False):
     """Compose the config, (optionally) restore a checkpoint, export G."""
     from ..config import compose
     from ..config.registry import instantiate
@@ -83,16 +110,23 @@ def export_generator(conf_dir, overrides: Sequence[str], batch: int,
         g_state = g_vars
 
     exp, fallback_reason = build_exported_generator(
-        task, g_params, g_state, extra, batch)
+        task, g_params, g_state, extra, batch, pose=pose)
     blob = exp.serialize()
     out_path = Path(out_path)
     out_path.write_bytes(blob)
     sidecar = {
         "expt": str(cfg.name), "batch": batch, "z_dim": int(task.noise_dim),
         "img_size": int(cfg.train.img_size),
-        "call": "images = jax.export.deserialize(blob).call(z, seed)",
+        "call": ("images = jax.export.deserialize(blob).call(z, view_in, "
+                 "seed)" if pose else
+                 "images = jax.export.deserialize(blob).call(z, seed)"),
         "platforms": list(exp.platforms),
     }
+    if pose:
+        sidecar["pose"] = True
+        sidecar["view_dim"] = VIEW_DIM
+        sidecar["view_row"] = ("[azimuth_rad, elevation_rad, scale, "
+                               "tx, ty, tz]")
     if fallback_reason is not None:
         sidecar["fallback_reason"] = fallback_reason
     out_path.with_suffix(out_path.suffix + ".json").write_text(
@@ -102,7 +136,8 @@ def export_generator(conf_dir, overrides: Sequence[str], batch: int,
 
 def main(argv=None):
     argv = list(sys.argv[1:] if argv is None else argv)
-    serving = {"batch": 8, "out": "generator.stablehlo", "ckpt": None}
+    serving = {"batch": 8, "out": "generator.stablehlo", "ckpt": None,
+               "pose": False}
     overrides = []
     for a in argv:
         if a.startswith("serving."):
@@ -113,7 +148,8 @@ def main(argv=None):
     conf_dir = Path(__file__).resolve().parents[2] / "conf"
     out, sidecar = export_generator(
         conf_dir, overrides, int(serving["batch"]), serving["out"],
-        ckpt=serving["ckpt"])
+        ckpt=serving["ckpt"],
+        pose=str(serving["pose"]).lower() in ("1", "true", "yes"))
     print(f"exported {sidecar['expt']} generator → {out} "
           f"({out.stat().st_size/1e6:.1f} MB, platforms={sidecar['platforms']})")
 

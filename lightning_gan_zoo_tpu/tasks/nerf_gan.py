@@ -145,7 +145,10 @@ class PIGAN(GANTask):
 
     # -- sampling ---------------------------------------------------------------
     def generate(self, g_params, g_state, z, rng=None, sample_res=None,
-                 **kwargs):
+                 extra=None, **kwargs):
+        # ``extra`` (TrainState.extra — the progressive-growing alpha) only
+        # conditions D; accept-and-ignore keeps the GANTask.generate
+        # contract (serving/export.py passes it uniformly)
         rngs = self.model_rngs(rng if rng is not None
                                else jax.random.PRNGKey(0))
         out, _ = apply_model(self.generator, g_params, g_state, z,

@@ -93,3 +93,67 @@ def test_export_from_trained_checkpoint(tmp_path):
         g_vars["params"], {k: v for k, v in g_vars.items() if k != "params"},
         z), np.float32)
     np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_export_pose_conditioned_hologan(tmp_path):
+    """serving.pose=true: the exported callable takes an explicit (B, 6)
+    pose row — deterministic per (z, view, seed), sensitive to the view
+    (the serving-time counterpart of the reference's azimuth sweeps)."""
+    out = tmp_path / "holo_pose.stablehlo"
+    path, sidecar = export_generator(
+        CONF, ["+expt=hologan", "dataset=synthetic", "calc_fid=False",
+               "train.img_size=32"], batch=2, out_path=out, pose=True)
+    assert sidecar["pose"] is True and sidecar["view_dim"] == 6
+    g = jexport.deserialize(path.read_bytes())
+    z = jax.random.normal(jax.random.PRNGKey(3), (2, sidecar["z_dim"]))
+
+    def view(az_deg, el_deg):
+        row = np.array([np.deg2rad(az_deg), np.deg2rad(el_deg),
+                        1.0, 0.0, 0.0, 0.0], np.float32)
+        return jnp.asarray(np.tile(row, (2, 1)))
+
+    a = np.asarray(g.call(z, view(0, 90), jnp.int32(0)), np.float32)
+    a2 = np.asarray(g.call(z, view(0, 90), jnp.int32(0)), np.float32)
+    b = np.asarray(g.call(z, view(60, 90), jnp.int32(0)), np.float32)
+    assert np.isfinite(a).all() and np.isfinite(b).all()
+    np.testing.assert_array_equal(a, a2)      # fixed pose => deterministic
+    assert np.abs(a - b).max() > 1e-4         # pose changes the render
+
+
+PIGAN_TINY = ["+expt=pigan", "machine=local", "dataset=synthetic",
+              "calc_fid=False", "model.noise_dim=16",
+              "nerf.siren_dim_hidden=32", "nerf.siren_num_layers=2",
+              "nerf.n_pts_per_ray=4", "nerf.n_pts_per_ray_fine=4",
+              "train.img_size=32"]
+
+
+def test_export_pigan_default_and_pose(tmp_path):
+    """Default (z, seed) export must work for the NeRF families too (the
+    task.generate extra-kwarg path regressed unnoticed while only
+    dc_gan/hologan were covered), and serving.pose=true renders a fixed
+    camera."""
+    # default export (random camera per seed)
+    path0, sc0 = export_generator(CONF, PIGAN_TINY, batch=2,
+                                  out_path=tmp_path / "pigan.stablehlo")
+    g0 = jexport.deserialize(path0.read_bytes())
+    z = jax.random.normal(jax.random.PRNGKey(4), (2, sc0["z_dim"]))
+    img0 = g0.call(z, jnp.int32(0))
+    assert np.isfinite(np.asarray(img0)).all()
+
+    # pose-conditioned export
+    path, sidecar = export_generator(CONF, PIGAN_TINY, batch=2,
+                                     out_path=tmp_path / "pose.stablehlo",
+                                     pose=True)
+    g = jexport.deserialize(path.read_bytes())
+    row = np.array([0.3, 1.4, 1.0, 0.0, 0.0, 0.0], np.float32)
+    img = g.call(z, jnp.asarray(np.tile(row, (2, 1))), jnp.int32(0))
+    assert img.shape[0] == 2 and np.isfinite(np.asarray(img)).all()
+
+
+def test_export_pose_rejects_2d_family(tmp_path):
+    import pytest
+    with pytest.raises(ValueError, match="view-conditioned"):
+        export_generator(
+            CONF, ["+expt=dc_gan", "dataset=synthetic", "calc_fid=False",
+                   "train.img_size=32"], batch=2,
+            out_path=tmp_path / "x.stablehlo", pose=True)
