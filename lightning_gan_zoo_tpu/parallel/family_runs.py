@@ -167,11 +167,12 @@ def family_loss_grads(conf_dir, family: str, mesh, batch: int,
 
 
 def run_family_superstep(conf_dir, family: str, mesh, batch: int,
-                         seed: int = 0):
+                         seed: int = 0, tp_min_shard: int = 8):
     """One sharded superstep of ``family`` on ``mesh``; returns metrics.
 
-    State replicated, batch sharded over the 'data' axis — the exact
-    production path (parallel/mesh.shard_superstep)."""
+    Batch sharded over the 'data' axis; state replicated, or per-leaf
+    'tp'-sharded when the mesh carries a tensor-parallel axis — the exact
+    production paths (parallel/mesh.shard_superstep / put_state)."""
     import jax
 
     from ..runtime.state import create_train_state
@@ -182,14 +183,17 @@ def run_family_superstep(conf_dir, family: str, mesh, batch: int,
     cfg, task = build_family(conf_dir, family, batch, num_devices=n_dev)
     d_tx, g_tx = task.configure_optimizers(steps_per_epoch=4)
     g_vars, d_vars = task.init(jax.random.PRNGKey(0))
-    state = pmesh.put_replicated(
+    state = pmesh.put_state(
         create_train_state(g_vars, d_vars, g_tx, d_tx,
-                           extra=task.initial_extra()), mesh)
+                           extra=task.initial_extra()), mesh,
+        min_shard=tp_min_shard)
+    state_sh = (pmesh.state_shardings(state, mesh, tp_min_shard)
+                if pmesh.tp_size_of(mesh) > 1 else None)
     step = pmesh.shard_superstep(
         build_superstep(task, g_tx, d_tx,
                         int(cfg.optimisation.disc_freq),
                         int(cfg.optimisation.gen_freq)),
-        mesh, donate_state=False)
+        mesh, donate_state=False, state_sh=state_sh)
     batches = jax.device_put(make_family_batches(cfg, family, batch, seed),
                              pmesh.batch_sharding(mesh))
     new_state, metrics = step(state, batches, jax.random.PRNGKey(seed + 1))

@@ -14,6 +14,19 @@ batch sizes as small as 4 (conf/machine/local.yaml), so pure data
 parallelism stops scaling at 4 chips — ray sharding keeps every chip busy
 on a slice of the per-image ray grid instead (the scaling-book "sequence
 parallel" recipe applied to rays).
+
+``cfg.num_tp`` (TPU-native extra) adds a 'tp' tensor-parallel axis: model
+parameters, their optimizer moments and the EMA twin shard their trailing
+output-channel/feature axis over 'tp' (:func:`state_shardings`), and GSPMD
+propagates the channel sharding through the conv/dense graph, inserting
+the activation all-gathers / gradient reduce-scatters over ICI. This is
+the scaling-book "annotate weights, let XLA place collectives" recipe —
+it divides per-chip optimizer/parameter memory AND per-layer MXU work by
+tp, which matters once `data` alone can no longer grow (GAN batches are
+semantically capped: WGAN-GP's penalty statistics and BN stats change with
+global batch). Validated by 1-device-vs-mesh equivalence in
+tests/test_tp.py for the conv families (incl. R1's grad-of-grad through
+sharded weights); the NeRF families use 'sp' instead.
 """
 from __future__ import annotations
 
@@ -25,7 +38,8 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
-def make_mesh(num_devices: Optional[int] = None, sp: int = 1) -> Mesh:
+def make_mesh(num_devices: Optional[int] = None, sp: int = 1,
+              tp: int = 1) -> Mesh:
     devices = jax.devices()
     if num_devices and num_devices > 0:
         if num_devices > len(devices):
@@ -33,15 +47,25 @@ def make_mesh(num_devices: Optional[int] = None, sp: int = 1) -> Mesh:
                 f"Requested {num_devices} devices, have {len(devices)} "
                 f"({[d.platform for d in devices[:4]]}...)")
         devices = devices[:num_devices]
-    sp = int(sp or 1)
-    if sp > 1:
-        if len(devices) % sp:
+    sp, tp = int(sp or 1), int(tp or 1)
+    if sp * tp > 1:
+        if len(devices) % (sp * tp):
             raise ValueError(
-                f"num_sp={sp} does not divide the {len(devices)}-device mesh")
-        # sp is the minor (fastest-varying) axis: ray-shard collectives ride
-        # the shortest ICI hops, the gradient psum crosses both axes anyway
-        arr = np.asarray(devices).reshape(len(devices) // sp, sp)
-        return Mesh(arr, ("data", "sp"))
+                f"num_sp={sp} x num_tp={tp} does not divide the "
+                f"{len(devices)}-device mesh")
+        # sp/tp are the minor (fastest-varying) axes: per-layer activation
+        # all-gathers and ray-shard collectives ride the shortest ICI hops,
+        # the gradient psum crosses every axis anyway
+        shape = [len(devices) // (sp * tp)]
+        names = ["data"]
+        if sp > 1:
+            shape.append(sp)
+            names.append("sp")
+        if tp > 1:
+            shape.append(tp)
+            names.append("tp")
+        arr = np.asarray(devices).reshape(shape)
+        return Mesh(arr, tuple(names))
     return Mesh(np.asarray(devices), ("data",))
 
 
@@ -91,6 +115,13 @@ def sp_size() -> int:
     return int(mesh.shape["sp"])
 
 
+def tp_size_of(mesh: Optional[Mesh]) -> int:
+    """Size of a mesh's tensor-parallel axis (1 = off)."""
+    if mesh is None or "tp" not in mesh.axis_names:
+        return 1
+    return int(mesh.shape["tp"])
+
+
 def shard_rays(x: jax.Array, ray_axis: int = 1) -> jax.Array:
     """Constrain a (batch, rays, ...) tensor to batch-over-'data' ×
     rays-over-'sp'. No-op when no sp mesh is active or the ray count does
@@ -133,18 +164,79 @@ def batch_sharding(mesh: Mesh, *, stacked: bool = True,
     return NamedSharding(mesh, P(None, "data") if stacked else P("data"))
 
 
+def _tp_leaf_spec(shape, tp: int, min_shard: int) -> P:
+    """Trailing-axis ('tp') spec for one parameter leaf, or replicated.
+
+    Shape-based on purpose: Adam moments mirror param shapes exactly, so
+    the same rule shards optimizer state consistently with its parameter.
+    Trailing axis = flax's output-channel/feature dim for Conv HWIO /
+    ConvTranspose / Dense kernels, biases, and norm scale/bias alike.
+    ``min_shard`` keeps sub-lane shards off the MXU (an 8-lane floor; a
+    (..., 16) kernel split 8 ways would put 2 channels per chip)."""
+    if tp <= 1 or not shape:
+        return P()
+    if shape[-1] % tp == 0 and shape[-1] // tp >= min_shard:
+        return P(*([None] * (len(shape) - 1) + ["tp"]))
+    return P()
+
+
+def params_shardings(tree, mesh: Mesh, min_shard: int = 8):
+    """Per-leaf 'tp' NamedShardings for a parameter (or optax-moment, or
+    EMA) pytree — the :func:`_tp_leaf_spec` rule mapped over the tree."""
+    tp = tp_size_of(mesh)
+
+    def rule(x):
+        return NamedSharding(mesh, _tp_leaf_spec(x.shape, tp, min_shard))
+
+    return jax.tree.map(rule, tree)
+
+
+def state_shardings(state, mesh: Mesh, min_shard: int = 8):
+    """Per-leaf NamedShardings for a TrainState on a 'tp' mesh.
+
+    Model params, their optax moments, and the EMA twin shard their
+    trailing axis over 'tp' (when divisible and ≥ ``min_shard`` per chip);
+    mutable collections (batch_stats, spectral u — tiny, and their updates
+    must stay bit-identical across chips), counters, and task extras stay
+    replicated. GSPMD propagates the weight shardings through the graph.
+    With no 'tp' axis every leaf is replicated (the round-2 DP path)."""
+    rep = NamedSharding(mesh, P())
+
+    def shard_tree(t):
+        return params_shardings(t, mesh, min_shard)
+
+    def rep_tree(t):
+        return jax.tree.map(lambda _: rep, t)
+
+    return state.replace(
+        g_params=shard_tree(state.g_params),
+        d_params=shard_tree(state.d_params),
+        g_state=rep_tree(state.g_state),
+        d_state=rep_tree(state.d_state),
+        g_opt=shard_tree(state.g_opt),
+        d_opt=shard_tree(state.d_opt),
+        g_steps=rep, d_steps=rep, step=rep,
+        extra=rep_tree(state.extra),
+        g_ema=(shard_tree(state.g_ema)
+               if state.g_ema is not None else None),
+    )
+
+
 def shard_superstep(superstep, mesh: Mesh, donate_state: bool = True,
-                    folded: bool = False):
-    """jit the superstep with state replicated and batches data-sharded.
+                    folded: bool = False, state_sh: Any = None):
+    """jit the superstep with batches data-sharded and the state either
+    replicated (default) or per-leaf sharded (``state_sh`` — a TrainState
+    of NamedShardings from :func:`state_shardings`, the 'tp' path).
 
     The traced function runs under :func:`mesh_context` so ray-level
     sharding constraints inside the NeRF renderer see the active mesh."""
     rep = replicated(mesh)
+    st = state_sh if state_sh is not None else rep
     bsh = batch_sharding(mesh, stacked=True, folded=folded)
     return jax.jit(
         with_mesh_context(superstep, mesh),
-        in_shardings=(rep, bsh, rep),
-        out_shardings=(rep, rep),
+        in_shardings=(st, bsh, rep),
+        out_shardings=(st, rep),
         donate_argnums=(0,) if donate_state else (),
     )
 
@@ -152,6 +244,14 @@ def shard_superstep(superstep, mesh: Mesh, donate_state: bool = True,
 def put_replicated(tree: Any, mesh: Mesh) -> Any:
     rep = replicated(mesh)
     return jax.device_put(tree, rep)
+
+
+def put_state(state, mesh: Mesh, min_shard: int = 8):
+    """Stage a TrainState onto the mesh: per-leaf 'tp' shardings when the
+    mesh has a tensor-parallel axis, plain replication otherwise."""
+    if tp_size_of(mesh) <= 1:
+        return put_replicated(state, mesh)
+    return jax.device_put(state, state_shardings(state, mesh, min_shard))
 
 
 def put_batch(tree: Any, mesh: Mesh, *, stacked: bool = True,

@@ -73,10 +73,19 @@ class Trainer:
         self.task = instantiate(cfg.model.lm, cfg, str(self.logging_dir))
 
         # device mesh (ICI data parallelism; reference: PL DDP over num_gpus;
-        # num_sp>1 adds the ray-sharding axis for the NeRF families)
+        # num_sp>1 adds the ray-sharding axis for the NeRF families,
+        # num_tp>1 the tensor-parallel axis for the conv families)
         n_dev = int(cfg.get("num_gpus", 1) or 1)
+        num_tp = int(cfg.get("num_tp", 1) or 1)
+        if num_tp > 1 and jax.process_count() > 1:
+            raise ValueError(
+                "num_tp>1 is single-controller only (host-local checkpoint "
+                "gathers assume every shard is addressable); multi-host "
+                "launches scale via the 'data' axis")
         self.mesh = pmesh.make_mesh(min(n_dev, len(jax.devices())),
-                                    sp=int(cfg.get("num_sp", 1) or 1))
+                                    sp=int(cfg.get("num_sp", 1) or 1),
+                                    tp=num_tp)
+        self._tp_min_shard = int(cfg.get("tp_min_shard", 8) or 8)
 
         # figures
         self.figures = self._build_figures()
@@ -223,8 +232,13 @@ class Trainer:
             fold = self._active_fold
             if fold > 1:
                 raw = build_folded_superstep(raw, fold)
+            state_sh = None
+            if pmesh.tp_size_of(self.mesh) > 1 and self.state is not None:
+                state_sh = pmesh.state_shardings(self.state, self.mesh,
+                                                 self._tp_min_shard)
             self._compiled[key] = pmesh.shard_superstep(raw, self.mesh,
-                                                        folded=fold > 1)
+                                                        folded=fold > 1,
+                                                        state_sh=state_sh)
             self._current_key = key
         return self._compiled[key]
 
@@ -260,7 +274,8 @@ class Trainer:
                 saved_epoch, self.epoch = self.epoch, e
                 self._update_epoch_schedules(replay=True)
                 self.epoch = saved_epoch
-        self.state = pmesh.put_replicated(state, self.mesh)
+        self.state = pmesh.put_state(state, self.mesh,
+                                     min_shard=self._tp_min_shard)
 
     # ------------------------------------------------------------------- train
     def fit(self):
