@@ -25,8 +25,9 @@ it divides per-chip optimizer/parameter memory AND per-layer MXU work by
 tp, which matters once `data` alone can no longer grow (GAN batches are
 semantically capped: WGAN-GP's penalty statistics and BN stats change with
 global batch). Validated by 1-device-vs-mesh equivalence in
-tests/test_tp.py for the conv families (incl. R1's grad-of-grad through
-sharded weights); the NeRF families use 'sp' instead.
+tests/test_tp.py for ALL seven families (incl. R1's grad-of-grad through
+sharded weights and the Pallas-kernel families); the NeRF families
+usually prefer 'sp', which shards work rather than weights.
 """
 from __future__ import annotations
 

@@ -24,8 +24,12 @@ from lightning_gan_zoo_tpu.parallel.family_runs import (build_family,
                                                         make_family_batches,
                                                         run_family_superstep)
 
-# conv families only: the NeRF families scale via the 'sp' ray axis instead
-TP_FAMILIES = ("dc_gan", "wgan", "wgan_gp", "gan_stability_r1")
+# every family holds under 'tp' (the NeRF families usually scale via the
+# 'sp' ray axis instead, but their SIREN dense layers channel-shard fine;
+# hologan's Pallas trilinear participates through its custom_partitioning
+# batch rule, with GSPMD gathering the channel-sharded volume around it)
+TP_FAMILIES = ("dc_gan", "wgan", "wgan_gp", "gan_stability_r1", "hologan",
+               "pigan", "anigan")
 
 
 def test_tp_leaf_rule():
