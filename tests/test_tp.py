@@ -100,6 +100,20 @@ def test_tp_superstep_matches_single_device(family):
             err_msg=f"{family}:g{jax.tree_util.keystr(path)}")
 
 
+def test_three_axis_mesh_pigan():
+    """The full (data=2, sp=2, tp=2) factorization: rays sharded over 'sp'
+    inside the NeRF renderer AND weights channel-sharded over 'tp',
+    simultaneously, still matches single-device execution."""
+    mesh3 = pmesh.make_mesh(8, sp=2, tp=2)
+    _, m3 = run_family_superstep(CONF_DIR, "pigan", mesh3, batch=8,
+                                 tp_min_shard=1)
+    mesh1 = pmesh.make_mesh(1)
+    _, m1 = run_family_superstep(CONF_DIR, "pigan", mesh1, batch=8)
+    for k in m3:
+        np.testing.assert_allclose(float(m1[k]), float(m3[k]), rtol=2e-3,
+                                   atol=1e-5, err_msg=f"pigan-3axis:{k}")
+
+
 def test_trainer_end_to_end_tp(tmp_path):
     """The production Trainer loop on a (data=2, tp=4) mesh: the CLI knobs
     num_gpus=8 num_tp=4 train dc_gan end-to-end, the live state is actually
