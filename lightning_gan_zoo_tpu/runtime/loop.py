@@ -408,6 +408,27 @@ class Trainer:
         self.logger.flush()
 
     # --------------------------------------------------------------- validate
+    def evaluate(self):
+        """``eval_only=true``: restore a trained state (``train.ckpt_dir``,
+        same resume scan as training — rescue checkpoints preferred) and run
+        ONE full validation pass — Real/Fake grids, FID/KID, every figure —
+        with no training and no checkpoint writes. Returns the metric dict.
+
+        The reference has no offline-evaluation entry point (its metrics
+        exist only as fit-time callbacks, run_network.py:66-75); here the
+        identical validation path is reachable from the CLI for a finished
+        run."""
+        self.ckpt.save_ckpts = False   # never write checkpoints in eval mode
+        self._init_state(steps_per_epoch=1)
+        global_step = int(self.state.step)
+        if global_step == 0:
+            print("[eval] no checkpoint restored (train.ckpt_dir unset or "
+                  "empty) — evaluating the random initialisation")
+        metrics = self.validate(global_step)
+        self.trace.close()
+        self.logger.flush()
+        return metrics
+
     def validate(self, global_step: int):
         cfg = self.cfg
         rng = jax.random.fold_in(self.root_rng, 10_000 + self.epoch)
@@ -476,6 +497,7 @@ class Trainer:
                 self.state if self.ckpt.async_save
                 else jax.device_get(self.state),
                 epoch=self.epoch, fid=fid)
+        return metrics
 
 
 def _print_shapes(task):
@@ -500,5 +522,11 @@ def train(cfg: Config):
             _print_shapes(trainer.task)
         except Exception as e:
             print(f"[debug] verbose_shape failed: {e}")
+    if bool(cfg.get("eval_only", False)):
+        metrics = trainer.evaluate()
+        if metrics:
+            print("eval " + " ".join(f"{k}={v:.4f}"
+                                     for k, v in sorted(metrics.items())))
+        return trainer
     trainer.fit()
     return trainer

@@ -190,3 +190,35 @@ def test_figure_missing_data_is_skipped(tmp_path, capsys):
         assert "missing data" in capsys.readouterr().out
     finally:
         registry._REGISTRY.pop("tests.needs_data_figure", None)
+
+
+def test_eval_only_restores_and_validates(tmp_path):
+    """eval_only=true: restore a trained checkpoint, run one full validation
+    pass (Fake grid + figures), return metrics, and write NO checkpoints."""
+    from lightning_gan_zoo_tpu.runtime.loop import train
+
+    tiny = ["+expt=dc_gan", "dataset=synthetic", "train.img_size=16",
+            "train.features_gen=8", "train.features_disc=8",
+            "model.noise_dim=16", "calc_fid=False", "precision=32",
+            "train.batch_size=4", "dataset.n=16",
+            "figure_details.fid_callback=False"]
+    cfg_a = compose(CONF_DIR, tiny + [
+        "train.num_epochs=1", "save_ckpts=True",
+        f"output_root={tmp_path}/a", "version=run"])
+    tr_a = train(cfg_a)
+    trained_step = int(tr_a.state.step)
+    assert trained_step > 0
+    ckpt_dir = f"{tmp_path}/a/dc_gan/run/ckpts"
+
+    cfg_b = compose(CONF_DIR, tiny + [
+        "eval_only=True", "save_ckpts=True",   # eval mode must override
+        f"train.ckpt_dir={ckpt_dir}",
+        f"output_root={tmp_path}/b", "version=run"])
+    tr_b = train(cfg_b)
+    # restored the trained state, trained no further
+    assert int(tr_b.state.step) == trained_step
+    # drew the figures from the restored params
+    figs = list((tr_b.logging_dir / "figures").glob("*"))
+    assert figs, "eval_only drew no figures"
+    # and wrote no checkpoints of its own
+    assert not list((tr_b.logging_dir / "ckpts").glob("model_*"))
