@@ -18,6 +18,19 @@ import jax
 import orbax.checkpoint as ocp
 
 
+def _is_main() -> bool:
+    return jax.process_index() == 0
+
+
+def _barrier(name: str):
+    """Cross-process sync around our own fs mutations (orbax coordinates
+    ITS writes internally, but retention rmtree and train_meta.json are
+    this class's responsibility). No-op single-process."""
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+        multihost_utils.sync_global_devices(f"lgzt_ckpt_{name}")
+
+
 class CheckpointManager:
     def __init__(self, ckpt_dir: Optional[str | Path],
                  save_ckpts: bool = True, async_save: bool = False):
@@ -45,7 +58,9 @@ class CheckpointManager:
                           else self._ckptr)
         self._pending_meta: Optional[Tuple[Path, dict]] = None
         if save_ckpts:
-            self.dir.mkdir(parents=True, exist_ok=True)
+            if _is_main():
+                self.dir.mkdir(parents=True, exist_ok=True)
+            _barrier("mkdir")
 
     # -- save ---------------------------------------------------------------
     def _flush_pending(self):
@@ -55,7 +70,9 @@ class CheckpointManager:
         if self._pending_meta is not None:
             path, info = self._pending_meta
             self._pending_meta = None
-            (path / "train_meta.json").write_text(json.dumps(info))
+            if _is_main():
+                (path / "train_meta.json").write_text(json.dumps(info))
+            _barrier("pending_meta")
 
     def save_best(self, state, *, epoch: int, fid: Optional[float],
                   meta: Optional[dict] = None):
@@ -69,11 +86,16 @@ class CheckpointManager:
         tag = f"model_best-{fid:.2f}" if fid is not None else \
             f"model_epoch-{epoch}"
         path = (self.dir / tag).absolute()
-        for old in self.dir.glob("model_*"):
-            if old.absolute() != path:
-                shutil.rmtree(old, ignore_errors=True)
-        if path.exists():
-            shutil.rmtree(path)
+        # retention cleanup is a process-0 fs mutation (orbax's save below
+        # is a COLLECTIVE — every process calls it; orbax writes from the
+        # primary and barriers internally)
+        if _is_main():
+            for old in self.dir.glob("model_*"):
+                if old.absolute() != path:
+                    shutil.rmtree(old, ignore_errors=True)
+            if path.exists():
+                shutil.rmtree(path)
+        _barrier("retention")
         info = {"epoch": epoch, "fid": fid, **(meta or {})}
         if self.async_save:
             # hand orbax the live (possibly device) arrays: it snapshots
@@ -83,7 +105,9 @@ class CheckpointManager:
             return
         self._ckptr.save(path, jax.device_get(state))
         self._ckptr.wait_until_finished()
-        (path / "train_meta.json").write_text(json.dumps(info))
+        if _is_main():
+            (path / "train_meta.json").write_text(json.dumps(info))
+        _barrier("meta")
 
     def finalize(self):
         """Block until any in-flight async save is fully committed (call at

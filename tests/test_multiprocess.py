@@ -90,6 +90,28 @@ WORKER = textwrap.dedent("""
     b2 = pmesh.put_batch(local2, mesh, folded=True)
     _, m2 = folded(new_state, b2, (jax.random.PRNGKey(2), jnp.int32(0)))
     print(f"MPFOLD {float(m2['d_loss']):.6f}", flush=True)
+
+    # checkpoint round-trip through the SAME multi-process layout: orbax's
+    # save is a collective (every process calls it; the primary writes,
+    # CheckpointManager's own fs mutations — retention rmtree, meta — are
+    # process-0 gated with barriers). Restore on every process must give
+    # back the trained params bit-for-bit.
+    from lightning_gan_zoo_tpu.runtime.checkpoint import CheckpointManager
+    ck = CheckpointManager(os.environ["LGZT_CKDIR"], save_ckpts=True)
+    ck.save_best(jax.device_get(new_state), epoch=3, fid=None,
+                 meta={"best_fid": 1.5})
+    found = CheckpointManager.find_ckpt(os.environ["LGZT_CKDIR"])
+    assert found is not None, "no checkpoint written"
+    template = jax.device_get(create_train_state(
+        g_vars, d_vars, g_tx, d_tx, extra=task.initial_extra()))
+    restored, meta_r = ck.restore(found, template)
+    want = jax.device_get(new_state)
+    for a, b in zip(jax.tree_util.tree_leaves(want.g_params),
+                    jax.tree_util.tree_leaves(restored.g_params)):
+        assert np.array_equal(np.asarray(a), np.asarray(b))
+    leaf0 = np.asarray(jax.tree_util.tree_leaves(restored.g_params)[0])
+    print(f"MPCKPT {float(np.abs(leaf0).sum()):.6f} "
+          f"{int(meta_r['epoch'])}", flush=True)
 """)
 
 
@@ -114,6 +136,7 @@ def test_multi_process_data_parallel(tmp_path, nproc):
         env["LGZT_NPROC"] = str(nproc)
         env["LGZT_PID"] = str(pid)
         env["LGZT_REPO"] = str(REPO_ROOT)
+        env["LGZT_CKDIR"] = str(tmp_path / "ckpts")
         env.setdefault("JAX_COMPILATION_CACHE_DIR",
                        os.path.expanduser("~/.cache/jax"))
         procs.append(subprocess.Popen(
@@ -138,6 +161,18 @@ def test_multi_process_data_parallel(tmp_path, nproc):
     assert len(folded) == nproc, "folded megastep missing on some process"
     for other in folded[1:]:
         np.testing.assert_allclose(folded[0], other, rtol=1e-5)
+
+    # checkpoint round-trip: every process restored identical params, one
+    # model_* dir exists, and process 0 wrote the metadata exactly once
+    ck_rows = rows("MPCKPT")
+    assert len(ck_rows) == nproc, "checkpoint round-trip missing somewhere"
+    for other in ck_rows[1:]:
+        np.testing.assert_allclose(ck_rows[0], other, rtol=0, atol=0)
+    ckpts = list((tmp_path / "ckpts").glob("model_*"))
+    assert len(ckpts) == 1
+    import json
+    meta = json.loads((ckpts[0] / "train_meta.json").read_text())
+    assert meta["epoch"] == 3 and meta["best_fid"] == 1.5
 
     # single-process 8-device reference run of the SAME global batch
     import jax
