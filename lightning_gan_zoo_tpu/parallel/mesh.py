@@ -249,10 +249,62 @@ def put_replicated(tree: Any, mesh: Mesh) -> Any:
 
 def put_state(state, mesh: Mesh, min_shard: int = 8):
     """Stage a TrainState onto the mesh: per-leaf 'tp' shardings when the
-    mesh has a tensor-parallel axis, plain replication otherwise."""
+    mesh has a tensor-parallel axis, plain replication otherwise.
+
+    Multi-process, tp>1: ``jax.device_put`` cannot target shardings with
+    non-addressable shards, so each process supplies its own shards from
+    the host-replicated value via ``make_array_from_callback`` (every
+    process restores/initializes the identical state, so slicing the local
+    copy is exact)."""
     if tp_size_of(mesh) <= 1:
         return put_replicated(state, mesh)
-    return jax.device_put(state, state_shardings(state, mesh, min_shard))
+    sh = state_shardings(state, mesh, min_shard)
+    if jax.process_count() == 1:
+        return jax.device_put(state, sh)
+
+    def stage(x, s):
+        h = np.asarray(jax.device_get(x))
+        return jax.make_array_from_callback(h.shape, s, lambda idx: h[idx])
+
+    return jax.tree.map(stage, state, sh)
+
+
+def _assemble_local(x) -> Optional[np.ndarray]:
+    """Assemble a global array from this process's addressable shards, or
+    None when they don't cover every element."""
+    out = np.empty(x.shape, x.dtype)
+    got = np.zeros(x.shape, bool)
+    for s in x.addressable_shards:
+        out[s.index] = np.asarray(s.data)
+        got[s.index] = True
+    return out if got.all() else None
+
+
+def _gather_leaf(x):
+    if not isinstance(x, jax.Array):
+        return x
+    if x.is_fully_addressable:
+        return jax.device_get(x)
+    # assemble from this process's shards when they cover the whole array —
+    # the host-local 'tp' layout (tp*sp divides the local device count)
+    # guarantees this, and it needs NO collective, so process-0-only
+    # consumers (figure draw, checkpoint retention) never deadlock
+    local = _assemble_local(x)
+    if local is not None:
+        return local
+    # genuinely remote regions (e.g. a cross-host tp axis): collective
+    # gather — every process must call gather_tree for such leaves
+    from jax.experimental import multihost_utils
+    return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+
+
+def gather_tree(tree: Any) -> Any:
+    """Host (numpy) copies of a pytree of possibly cross-process-sharded
+    arrays — the multi-host-safe replacement for ``jax.device_get`` on a
+    TrainState (checkpoint saves, preemption rescue, serving export).
+    Fully-addressable leaves take the plain device_get path; host-local
+    sharded leaves are assembled from local shards without a collective."""
+    return jax.tree.map(_gather_leaf, tree)
 
 
 def put_batch(tree: Any, mesh: Mesh, *, stacked: bool = True,

@@ -77,14 +77,21 @@ class Trainer:
         # num_tp>1 the tensor-parallel axis for the conv families)
         n_dev = int(cfg.get("num_gpus", 1) or 1)
         num_tp = int(cfg.get("num_tp", 1) or 1)
-        if num_tp > 1 and jax.process_count() > 1:
+        num_sp = int(cfg.get("num_sp", 1) or 1)
+        if num_tp > 1 and jax.process_count() > 1 and \
+                len(jax.local_devices()) % (num_tp * num_sp):
+            # the minor (sp, tp) mesh axes fold consecutive devices; when
+            # their product divides the per-host device count every tp
+            # group is host-local, so state gathers (checkpoint, rescue,
+            # export) assemble from local shards with no collective and
+            # per-process batch stripes stay distinct
             raise ValueError(
-                "num_tp>1 is single-controller only (host-local checkpoint "
-                "gathers assume every shard is addressable); multi-host "
-                "launches scale via the 'data' axis")
+                f"num_tp={num_tp} x num_sp={num_sp} must divide the "
+                f"{len(jax.local_devices())} local devices per process "
+                "(tp groups must be host-local); scale across hosts via "
+                "the 'data' axis")
         self.mesh = pmesh.make_mesh(min(n_dev, len(jax.devices())),
-                                    sp=int(cfg.get("num_sp", 1) or 1),
-                                    tp=num_tp)
+                                    sp=num_sp, tp=num_tp)
         self._tp_min_shard = int(cfg.get("tp_min_shard", 8) or 8)
 
         # figures
@@ -385,7 +392,7 @@ class Trainer:
                 # approximation as the LR-schedule horizons above)
                 rescue = CheckpointManager(
                     self.logging_dir / "ckpts_rescue", save_ckpts=True)
-                rescue.save_best(jax.device_get(self.state),
+                rescue.save_best(pmesh.gather_tree(self.state),
                                  epoch=self.epoch, fid=None,
                                  meta={"rescue": True,
                                        "best_fid": self.best_fid})
@@ -495,7 +502,7 @@ class Trainer:
             # the device before returning; the commit overlaps training)
             self.ckpt.save_best(
                 self.state if self.ckpt.async_save
-                else jax.device_get(self.state),
+                else pmesh.gather_tree(self.state),
                 epoch=self.epoch, fid=fid)
         return metrics
 

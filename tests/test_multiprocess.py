@@ -112,6 +112,50 @@ WORKER = textwrap.dedent("""
     leaf0 = np.asarray(jax.tree_util.tree_leaves(restored.g_params)[0])
     print(f"MPCKPT {float(np.abs(leaf0).sum()):.6f} "
           f"{int(meta_r['epoch'])}", flush=True)
+
+    # tensor-parallel across the SAME multi-process layout (host-local tp
+    # groups: tp divides the local device count, parallel/mesh.py): the
+    # identical global batch through a (data x tp) mesh with ACTUALLY
+    # channel-sharded weights must reproduce the dp loss, and
+    # pmesh.gather_tree must reassemble the sharded state from local
+    # shards (no collective) bit-compatibly for checkpointing.
+    TP = int(os.environ.get("LGZT_TP", "0"))
+    if TP > 1:
+        tp_mesh = pmesh.make_mesh(8, tp=TP)
+        g_vars2, d_vars2 = task.init(jax.random.PRNGKey(0))
+        state_h = create_train_state(g_vars2, d_vars2, g_tx, d_tx,
+                                     extra=task.initial_extra())
+        st = pmesh.put_state(state_h, tp_mesh, min_shard=1)
+        specs = {str(getattr(l.sharding, "spec", ""))
+                 for l in jax.tree_util.tree_leaves(st.g_params)}
+        assert any("tp" in s for s in specs), f"nothing sharded: {specs}"
+        step_tp = pmesh.shard_superstep(
+            build_superstep(task, g_tx, d_tx, 1, 1), tp_mesh,
+            donate_state=False,
+            state_sh=pmesh.state_shardings(state_h, tp_mesh, min_shard=1))
+        per_tp = 16 // NPROC
+        local_tp = {"image": full[:, pid * per_tp:(pid + 1) * per_tp],
+                    "label": np.zeros((n_micro, per_tp), np.int32)}
+        b_tp = pmesh.put_batch(local_tp, tp_mesh)
+        with pmesh.mesh_context(tp_mesh):
+            new_tp, m_tp = step_tp(st, b_tp, jax.random.PRNGKey(1))
+        gathered = pmesh.gather_tree(new_tp)
+        for leaf in jax.tree_util.tree_leaves(gathered.g_params):
+            assert isinstance(leaf, np.ndarray)
+        ck2 = CheckpointManager(os.environ["LGZT_CKDIR"] + "_tp",
+                                save_ckpts=True)
+        ck2.save_best(gathered, epoch=5, fid=None, meta={"best_fid": 2.5})
+        found2 = CheckpointManager.find_ckpt(
+            os.environ["LGZT_CKDIR"] + "_tp")
+        restored2, _ = ck2.restore(found2, template)
+        for a, b in zip(jax.tree_util.tree_leaves(gathered.g_params),
+                        jax.tree_util.tree_leaves(restored2.g_params)):
+            assert np.array_equal(np.asarray(a), np.asarray(b))
+        gleaf = np.asarray(
+            jax.tree_util.tree_leaves(gathered.g_params)[0])
+        print(f"MPTP {float(m_tp['d_loss']):.6f} "
+              f"{float(m_tp['g_loss']):.6f} "
+              f"{float(np.abs(gleaf).sum()):.6f}", flush=True)
 """)
 
 
@@ -137,6 +181,7 @@ def test_multi_process_data_parallel(tmp_path, nproc):
         env["LGZT_PID"] = str(pid)
         env["LGZT_REPO"] = str(REPO_ROOT)
         env["LGZT_CKDIR"] = str(tmp_path / "ckpts")
+        env["LGZT_TP"] = "2"   # host-local: 2 divides 8//nproc for both
         env.setdefault("JAX_COMPILATION_CACHE_DIR",
                        os.path.expanduser("~/.cache/jax"))
         procs.append(subprocess.Popen(
@@ -173,6 +218,17 @@ def test_multi_process_data_parallel(tmp_path, nproc):
     import json
     meta = json.loads((ckpts[0] / "train_meta.json").read_text())
     assert meta["epoch"] == 3 and meta["best_fid"] == 1.5
+
+    # tensor-parallel over the same processes: identical losses on every
+    # process, and the (data x tp)-sharded run reproduces the dp losses
+    # of the same global batch to reduction-order tolerance
+    tp_rows = rows("MPTP")
+    assert len(tp_rows) == nproc, "tp section missing on some process"
+    for other in tp_rows[1:]:
+        np.testing.assert_allclose(tp_rows[0], other, rtol=1e-5)
+    np.testing.assert_allclose(tp_rows[0][:2], losses[0][:2], rtol=2e-3,
+                               atol=1e-5)
+    assert len(list((tmp_path / "ckpts_tp").glob("model_*"))) == 1
 
     # single-process 8-device reference run of the SAME global batch
     import jax
