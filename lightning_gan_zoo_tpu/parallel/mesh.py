@@ -192,19 +192,62 @@ def params_shardings(tree, mesh: Mesh, min_shard: int = 8):
     return jax.tree.map(rule, tree)
 
 
-def state_shardings(state, mesh: Mesh, min_shard: int = 8):
-    """Per-leaf NamedShardings for a TrainState on a 'tp' mesh.
+def _zero_leaf_spec(shape, data: int, tp: int, min_shard: int) -> P:
+    """ZeRO-1 trailing-axis spec for an optimizer-moment leaf: the leaf's
+    'tp' placement (kept consistent with its parameter) PLUS the 'data'
+    axis. Moments are elementwise-only (never touch the MXU), so unlike
+    params there is no lane floor — divisibility is the only gate."""
+    if not shape:
+        return P()
+    tp_spec = _tp_leaf_spec(shape, tp, min_shard)
+    tp_on = len(tp_spec) > 0 and tp_spec[-1] == "tp"
+    per = tp if tp_on else 1
+    if data > 1 and shape[-1] % (data * per) == 0:
+        last = ("data", "tp") if tp_on else ("data",)
+        return P(*([None] * (len(shape) - 1) + [last]))
+    return tp_spec
+
+
+def opt_shardings(tree, mesh: Mesh, min_shard: int = 8,
+                  zero: bool = False):
+    """Shardings for an optax state tree: the param rule, or — with
+    ``zero`` — ZeRO-1 sharding of the moments over ('data', 'tp')."""
+    if not zero:
+        return params_shardings(tree, mesh, min_shard)
+    tp = tp_size_of(mesh)
+    data = int(dict(mesh.shape).get("data", 1))
+
+    def rule(x):
+        return NamedSharding(mesh,
+                             _zero_leaf_spec(x.shape, data, tp, min_shard))
+
+    return jax.tree.map(rule, tree)
+
+
+def state_shardings(state, mesh: Mesh, min_shard: int = 8,
+                    zero: bool = False):
+    """Per-leaf NamedShardings for a TrainState on a mesh.
 
     Model params, their optax moments, and the EMA twin shard their
     trailing axis over 'tp' (when divisible and ≥ ``min_shard`` per chip);
     mutable collections (batch_stats, spectral u — tiny, and their updates
     must stay bit-identical across chips), counters, and task extras stay
     replicated. GSPMD propagates the weight shardings through the graph.
-    With no 'tp' axis every leaf is replicated (the round-2 DP path)."""
+    With no 'tp' axis every leaf is replicated (the round-2 DP path).
+
+    ``zero`` (ZeRO-1, cfg.zero_opt): Adam moments additionally shard over
+    the 'data' axis — the gradient psum leaves grads replicated, GSPMD
+    runs the elementwise moment/update math on 1/data of the elements per
+    chip and all-gathers only the param update. Divides per-chip optimizer
+    memory (2x params for Adam) by the data-axis size at the cost of one
+    update-sized all-gather per optimizer step."""
     rep = NamedSharding(mesh, P())
 
     def shard_tree(t):
         return params_shardings(t, mesh, min_shard)
+
+    def opt_tree(t):
+        return opt_shardings(t, mesh, min_shard, zero)
 
     def rep_tree(t):
         return jax.tree.map(lambda _: rep, t)
@@ -214,8 +257,8 @@ def state_shardings(state, mesh: Mesh, min_shard: int = 8):
         d_params=shard_tree(state.d_params),
         g_state=rep_tree(state.g_state),
         d_state=rep_tree(state.d_state),
-        g_opt=shard_tree(state.g_opt),
-        d_opt=shard_tree(state.d_opt),
+        g_opt=opt_tree(state.g_opt),
+        d_opt=opt_tree(state.d_opt),
         g_steps=rep, d_steps=rep, step=rep,
         extra=rep_tree(state.extra),
         g_ema=(shard_tree(state.g_ema)
@@ -247,18 +290,19 @@ def put_replicated(tree: Any, mesh: Mesh) -> Any:
     return jax.device_put(tree, rep)
 
 
-def put_state(state, mesh: Mesh, min_shard: int = 8):
-    """Stage a TrainState onto the mesh: per-leaf 'tp' shardings when the
-    mesh has a tensor-parallel axis, plain replication otherwise.
+def put_state(state, mesh: Mesh, min_shard: int = 8, zero: bool = False):
+    """Stage a TrainState onto the mesh: per-leaf shardings when the mesh
+    has a tensor-parallel axis or ZeRO-1 is on, plain replication
+    otherwise.
 
-    Multi-process, tp>1: ``jax.device_put`` cannot target shardings with
-    non-addressable shards, so each process supplies its own shards from
-    the host-replicated value via ``make_array_from_callback`` (every
-    process restores/initializes the identical state, so slicing the local
-    copy is exact)."""
-    if tp_size_of(mesh) <= 1:
+    Multi-process sharded staging: ``jax.device_put`` cannot target
+    shardings with non-addressable shards, so each process supplies its
+    own shards from the host-replicated value via
+    ``make_array_from_callback`` (every process restores/initializes the
+    identical state, so slicing the local copy is exact)."""
+    if tp_size_of(mesh) <= 1 and not zero:
         return put_replicated(state, mesh)
-    sh = state_shardings(state, mesh, min_shard)
+    sh = state_shardings(state, mesh, min_shard, zero)
     if jax.process_count() == 1:
         return jax.device_put(state, sh)
 

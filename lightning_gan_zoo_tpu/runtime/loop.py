@@ -93,6 +93,11 @@ class Trainer:
         self.mesh = pmesh.make_mesh(min(n_dev, len(jax.devices())),
                                     sp=num_sp, tp=num_tp)
         self._tp_min_shard = int(cfg.get("tp_min_shard", 8) or 8)
+        # ZeRO-1 (cfg.zero_opt): shard Adam moments over ('data','tp') —
+        # per-chip optimizer memory divides by the data-axis size; the
+        # update math runs sharded and GSPMD all-gathers only the updates
+        self._zero_opt = bool(cfg.get("zero_opt", False)) and \
+            self.mesh.devices.size > 1
 
         # figures
         self.figures = self._build_figures()
@@ -240,9 +245,11 @@ class Trainer:
             if fold > 1:
                 raw = build_folded_superstep(raw, fold)
             state_sh = None
-            if pmesh.tp_size_of(self.mesh) > 1 and self.state is not None:
+            if (pmesh.tp_size_of(self.mesh) > 1 or self._zero_opt) \
+                    and self.state is not None:
                 state_sh = pmesh.state_shardings(self.state, self.mesh,
-                                                 self._tp_min_shard)
+                                                 self._tp_min_shard,
+                                                 zero=self._zero_opt)
             self._compiled[key] = pmesh.shard_superstep(raw, self.mesh,
                                                         folded=fold > 1,
                                                         state_sh=state_sh)
@@ -282,7 +289,8 @@ class Trainer:
                 self._update_epoch_schedules(replay=True)
                 self.epoch = saved_epoch
         self.state = pmesh.put_state(state, self.mesh,
-                                     min_shard=self._tp_min_shard)
+                                     min_shard=self._tp_min_shard,
+                                     zero=self._zero_opt)
 
     # ------------------------------------------------------------------- train
     def fit(self):
