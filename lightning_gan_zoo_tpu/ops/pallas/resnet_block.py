@@ -326,13 +326,6 @@ def _fwd_inner(x, b1p, b2p, fh, fo, interpret):
     return y.reshape(b, h, w, fo)
 
 
-def _fwd(x, w1, b1, w2, b2, interpret=False):
-    g = _block_group(x.shape[2], x.shape[3], w1.shape[-1], w2.shape[-1])
-    b1p = _pack_weight(w1.astype(jnp.bfloat16), b1.astype(jnp.bfloat16), g)
-    b2p = _pack_weight(w2.astype(jnp.bfloat16), b2.astype(jnp.bfloat16), g)
-    return _fwd_inner(x, b1p, b2p, w1.shape[-1], w2.shape[-1], interpret)
-
-
 def _bwd_inner(x, g_ct, b1p, b2tp, b1tp, fh, fo, interpret):
     """Packed-weight backward core (see _fwd_inner): returns dx plus the
     PACKED weight-gradient partials — unpacking (np one-hot tables) and the

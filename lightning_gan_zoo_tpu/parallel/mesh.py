@@ -371,3 +371,27 @@ def put_batch(tree: Any, mesh: Mesh, *, stacked: bool = True,
 def is_main_process() -> bool:
     """rank_zero_only equivalent (reference figures/types.py:61)."""
     return jax.process_index() == 0
+
+
+_FLAG_MAX = None
+
+
+def any_process_flag(flag: bool, mesh: Mesh) -> bool:
+    """Cross-process OR of a per-host flag (one tiny device all-reduce).
+
+    Used to agree on the preemption-rescue exit boundary: a SIGTERM lands
+    at different superstep boundaries on different hosts, and a process
+    that breaks out of the collective train loop alone deadlocks every
+    peer inside its next psum. Every process must call this at the same
+    point. Single-process: returns the flag unchanged, no device work."""
+    if jax.process_count() == 1:
+        return bool(flag)
+    global _FLAG_MAX
+    if _FLAG_MAX is None:
+        import jax.numpy as jnp
+        _FLAG_MAX = jax.jit(jnp.max)   # one wrapper => one jit cache
+    n = mesh.devices.size
+    sh = NamedSharding(mesh, P(tuple(mesh.axis_names)))
+    arr = jax.make_array_from_callback(
+        (n,), sh, lambda idx: np.full((1,), int(flag), np.int32))
+    return bool(_FLAG_MAX(arr))

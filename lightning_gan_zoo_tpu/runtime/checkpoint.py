@@ -118,16 +118,53 @@ class CheckpointManager:
     @staticmethod
     def find_ckpt(ckpt_dir: Optional[str | Path]) -> Optional[Path]:
         """Reference find_ckpt (run_network.py:19-23): scan for checkpoints,
-        assert at most one."""
+        assert at most one. Orbax in-progress staging dirs
+        (``*.orbax-checkpoint-tmp-*`` — left behind when a process dies
+        mid-commit, a window async_save widens to whole epochs) are never
+        resume candidates."""
         if not ckpt_dir:
             return None
         d = Path(ckpt_dir)
         if not d.is_dir():
             return None
-        ckpts = sorted(p for p in d.glob("model_*") if p.is_dir())
+        ckpts = sorted(p for p in d.glob("model_*") if p.is_dir()
+                       and ".orbax-checkpoint-tmp" not in p.name)
         assert len(ckpts) <= 1, \
             f"Multiple checkpoints in {d}: {[c.name for c in ckpts]}"
         return ckpts[0] if ckpts else None
+
+    @staticmethod
+    def select_resume(ckpt_dir: Optional[str | Path]) -> Optional[Path]:
+        """Pick the resume source: the best-FID checkpoint in ``ckpt_dir``
+        or the preemption rescue in the sibling ``ckpts_rescue/`` —
+        whichever carries the newer epoch (ties go to the rescue: it was
+        written after the same-epoch validation checkpoint). A stale
+        rescue surviving from an earlier preemption that was already
+        resumed and trained past must not roll training back."""
+        best = CheckpointManager.find_ckpt(ckpt_dir)
+        if not ckpt_dir:
+            return best
+        rescue = CheckpointManager.find_ckpt(
+            Path(ckpt_dir).parent / "ckpts_rescue")
+        if rescue is None:
+            return best
+        if best is None or (CheckpointManager.ckpt_epoch(rescue) >=
+                            CheckpointManager.ckpt_epoch(best)):
+            return rescue
+        return best
+
+    @staticmethod
+    def ckpt_epoch(path: Path) -> int:
+        """Epoch recorded in a checkpoint's train_meta.json, -1 when the
+        metadata is missing (e.g. a commit that died before the meta
+        write) — used to arbitrate rescue-vs-best resume priority."""
+        meta_path = Path(path) / "train_meta.json"
+        if not meta_path.exists():
+            return -1
+        try:
+            return int(json.loads(meta_path.read_text()).get("epoch", -1))
+        except (ValueError, json.JSONDecodeError):
+            return -1
 
     def restore(self, path: Path, target) -> Tuple[Any, dict]:
         self._flush_pending()

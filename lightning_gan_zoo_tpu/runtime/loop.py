@@ -266,15 +266,9 @@ class Trainer:
                                    extra=self.task.initial_extra(),
                                    ema=self._ema_decay() > 0)
         ckpt_dir = self.cfg.train.get("ckpt_dir")
-        resume_path = CheckpointManager.find_ckpt(ckpt_dir)
-        if ckpt_dir:
-            # a preemption rescue (ckpts_rescue/ sibling, written by the
-            # SIGTERM handler in fit) carries the NEWEST state — prefer it
-            # over the best-FID checkpoint
-            rescue_path = CheckpointManager.find_ckpt(
-                Path(ckpt_dir).parent / "ckpts_rescue")
-            if rescue_path is not None:
-                resume_path = rescue_path
+        # best-FID checkpoint vs preemption rescue (ckpts_rescue/ sibling,
+        # written by the SIGTERM handler in fit): whichever is newer
+        resume_path = CheckpointManager.select_resume(ckpt_dir)
         if resume_path is not None:
             print(f"Resuming from {resume_path}")
             state, meta = self.ckpt.restore(resume_path,
@@ -292,6 +286,17 @@ class Trainer:
                                      min_shard=self._tp_min_shard,
                                      zero=self._zero_opt)
 
+    def _sync_preempted(self) -> bool:
+        """Cross-process agreement on the preemption flag. Must be called
+        at the same loop point by every process (each superstep boundary
+        and the epoch-end rescue check): one collective OR, so all
+        processes break — and enter the collective rescue save — at the
+        SAME boundary. Single-process this is just the local flag."""
+        if jax.process_count() > 1:
+            self._preempted = pmesh.any_process_flag(self._preempted,
+                                                     self.mesh)
+        return self._preempted
+
     # ------------------------------------------------------------------- train
     def fit(self):
         fast_dev_run = bool(self.cfg.debug.get("fast_dev_run", False))
@@ -301,9 +306,14 @@ class Trainer:
         # and SIGUSR1 (SLURM's configurable pre-termination warning) set a
         # flag; the superstep loop drains the in-flight dispatch, saves the
         # CURRENT state to ckpts_rescue/ and exits cleanly. Resume prefers
-        # the rescue over the best-FID checkpoint (reference counterpart:
-        # submitit requeue + resume_from_checkpoint, run_network.py:61,71 —
-        # which can only recover the last *validated* state)
+        # the rescue over the best-FID checkpoint while it is the newest
+        # state (reference counterpart: submitit requeue +
+        # resume_from_checkpoint, run_network.py:61,71 — which can only
+        # recover the last *validated* state). Multi-host: the flag is
+        # per-process and signals land at different superstep boundaries on
+        # different hosts, so every exit decision goes through a collective
+        # OR (_sync_preempted) — a process breaking out alone would
+        # deadlock its peers inside the next psum.
         import signal
         self._preempted = False
 
@@ -379,7 +389,7 @@ class Trainer:
                 self.trace.tick()
                 for k, v in metrics.items():
                     epoch_metrics.setdefault(f"train/{k}", []).append(v)
-                if fast_dev_run or self._preempted:
+                if fast_dev_run or self._sync_preempted():
                     break
 
             global_step = int(self.state.step)  # fences the epoch's chain
@@ -394,7 +404,7 @@ class Trainer:
                                 for k, v in means.items())
             print(f"epoch {self.epoch} [{dt:.1f}s] {loss_str}")
 
-            if self._preempted:
+            if self._sync_preempted():
                 # the interrupted epoch counts as completed (its remaining
                 # batches are skipped on resume — same epoch-granular
                 # approximation as the LR-schedule horizons above)
@@ -503,15 +513,19 @@ class Trainer:
         # checkpoint (best-FID policy; an uncalibrated FID never names a
         # checkpoint — without calibrated FID keep latest)
         fid = metrics.get("fid")
-        if fid is None or fid < self.best_fid:
+        if (fid is None or fid < self.best_fid) and self.ckpt.save_ckpts:
             if fid is not None:
                 self.best_fid = fid
             # async mode hands orbax the live arrays (it snapshots them off
-            # the device before returning; the commit overlaps training)
+            # the device before returning; the commit overlaps training);
+            # the save_ckpts guard above keeps the full-state host gather
+            # from running just to be discarded by save_best's no-op path
             self.ckpt.save_best(
                 self.state if self.ckpt.async_save
                 else pmesh.gather_tree(self.state),
                 epoch=self.epoch, fid=fid)
+        elif fid is not None and fid < self.best_fid:
+            self.best_fid = fid
         return metrics
 
 

@@ -72,11 +72,12 @@ def build_exported_generator(task, g_params, g_state, extra, batch: int,
     try:  # multi-platform artifact (runs on TPU serving fleets AND CPU)
         return jexport.export(jax.jit(gen), platforms=("tpu", "cpu"))(
             *args), None
-    except (NotImplementedError, ValueError) as e:
+    except Exception as e:  # noqa: BLE001 — an artifact must always ship;
         # a platform-specific lowering (e.g. a Pallas custom call) rejects
-        # multi-platform export → fall back to the current backend only,
-        # and surface WHY in the sidecar so a real lowering bug can't hide
-        # as a silent single-platform downgrade
+        # multi-platform export with NotImplementedError/ValueError, Mosaic
+        # and custom-call paths raise other types → fall back to the
+        # current backend only, and surface WHY in the sidecar so a real
+        # lowering bug can't hide as a silent single-platform downgrade
         reason = f"{type(e).__name__}: {e}"
     exp = jexport.export(jax.jit(gen))(*args)
     return exp, reason

@@ -113,6 +113,14 @@ WORKER = textwrap.dedent("""
     print(f"MPCKPT {float(np.abs(leaf0).sum()):.6f} "
           f"{int(meta_r['epoch'])}", flush=True)
 
+    # preemption-flag agreement (runtime/loop._sync_preempted's primitive):
+    # a flag set on ONE process must OR across all of them, and an unset
+    # flag must stay unset — the collective every exit decision rides
+    f1 = pmesh.any_process_flag(pid == 0, mesh)
+    f0 = pmesh.any_process_flag(False, mesh)
+    assert f1 is True and f0 is False
+    print(f"MPFLAG {int(f1)} {int(f0)}", flush=True)
+
     # tensor-parallel across the SAME multi-process layout (host-local tp
     # groups: tp divides the local device count, parallel/mesh.py): the
     # identical global batch through a (data x tp) mesh with ACTUALLY
@@ -218,6 +226,12 @@ def test_multi_process_data_parallel(tmp_path, nproc):
     import json
     meta = json.loads((ckpts[0] / "train_meta.json").read_text())
     assert meta["epoch"] == 3 and meta["best_fid"] == 1.5
+
+    # preemption-flag agreement on every process
+    flag_rows = rows("MPFLAG")
+    assert len(flag_rows) == nproc
+    for r in flag_rows:
+        assert r == [1.0, 0.0]
 
     # tensor-parallel over the same processes: identical losses on every
     # process, and the (data x tp)-sharded run reproduces the dp losses

@@ -71,3 +71,58 @@ def test_resume_across_annealing_boundary(tmp_path):
     for got, want in zip(_leaves(tr_c.state.d_params),
                          _leaves(tr_a.state.d_params)):
         np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_find_ckpt_ignores_orbax_tmp(tmp_path):
+    """A process killed mid-commit leaves an orbax staging dir
+    (*.orbax-checkpoint-tmp-*) behind — async_save widens that window to
+    whole epochs. It must never be a resume candidate (restoring it would
+    crash instead of falling back to the rescue/fresh start)."""
+    from lightning_gan_zoo_tpu.runtime.checkpoint import CheckpointManager
+
+    d = tmp_path / "ckpts"
+    d.mkdir()
+    (d / "model_best-12.34.orbax-checkpoint-tmp-123456").mkdir()
+    assert CheckpointManager.find_ckpt(d) is None
+    (d / "model_best-12.34").mkdir()
+    assert CheckpointManager.find_ckpt(d) == d / "model_best-12.34"
+
+
+def test_select_resume_prefers_newest(tmp_path):
+    """Rescue-vs-best arbitration: the rescue wins only while it is the
+    newest state; a stale rescue from an earlier preemption (already
+    resumed and trained past) must not roll training back."""
+    import json
+
+    from lightning_gan_zoo_tpu.runtime.checkpoint import CheckpointManager
+
+    ckpts = tmp_path / "ckpts"
+    rescue = tmp_path / "ckpts_rescue"
+    for p in (ckpts, rescue):
+        p.mkdir()
+
+    def put(root, name, epoch):
+        d = root / name
+        d.mkdir(exist_ok=True)
+        (d / "train_meta.json").write_text(json.dumps({"epoch": epoch}))
+        return d
+
+    # no rescue -> best
+    best = put(ckpts, "model_best-12.34", 9)
+    assert CheckpointManager.select_resume(ckpts) == best
+    # fresh rescue (newer epoch) -> rescue
+    r = put(rescue, "model_epoch-11", 11)
+    assert CheckpointManager.select_resume(ckpts) == r
+    # same epoch -> rescue (written after that epoch's validation save)
+    put(rescue, "model_epoch-11", 9)
+    assert CheckpointManager.select_resume(ckpts).name == "model_epoch-11"
+    # stale rescue (older epoch) -> best
+    put(rescue, "model_epoch-11", 3)
+    assert CheckpointManager.select_resume(ckpts) == best
+    # rescue only, best dir empty
+    for f in best.iterdir():
+        f.unlink()
+    best.rmdir()
+    assert CheckpointManager.select_resume(ckpts).name == "model_epoch-11"
+    # no ckpt_dir at all
+    assert CheckpointManager.select_resume(None) is None

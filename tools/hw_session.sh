@@ -14,7 +14,9 @@ run() {  # run <name> <timeout_s> <cmd...>
   local name=$1 t=$2; shift 2
   echo "=== $name ($(date +%H:%M:%S)) ===" | tee -a "$LOG"
   timeout "$t" "$@" 2>&1 | tail -5 | tee -a "$LOG"
-  echo "--- rc=$? ---" | tee -a "$LOG"
+  # the stage's exit code, not tee's (124 = timed out / wedged compile)
+  local rc=${PIPESTATUS[0]}
+  echo "--- rc=$rc ---" | tee -a "$LOG"
 }
 
 # stage 1: kernel micro-validation (compile + fwd/bwd parity on-chip)
