@@ -168,13 +168,14 @@ def family_loss_grads(conf_dir, family: str, mesh, batch: int,
 
 def run_family_superstep(conf_dir, family: str, mesh, batch: int,
                          seed: int = 0, tp_min_shard: int = 8,
-                         zero: bool = False):
+                         zero: bool = False, fsdp: bool = False):
     """One sharded superstep of ``family`` on ``mesh``; returns metrics.
 
     Batch sharded over the 'data' axis; state replicated, or per-leaf
     'tp'-sharded when the mesh carries a tensor-parallel axis — the exact
     production paths (parallel/mesh.shard_superstep / put_state).
-    ``zero`` turns on ZeRO-1 moment sharding (cfg.zero_opt)."""
+    ``zero`` turns on ZeRO-1 moment sharding (cfg.zero_opt); ``fsdp``
+    shards params + EMA too (cfg.fsdp, ZeRO-3)."""
     import jax
 
     from ..runtime.state import create_train_state
@@ -188,9 +189,10 @@ def run_family_superstep(conf_dir, family: str, mesh, batch: int,
     state = pmesh.put_state(
         create_train_state(g_vars, d_vars, g_tx, d_tx,
                            extra=task.initial_extra()), mesh,
-        min_shard=tp_min_shard, zero=zero)
-    state_sh = (pmesh.state_shardings(state, mesh, tp_min_shard, zero=zero)
-                if pmesh.tp_size_of(mesh) > 1 or zero else None)
+        min_shard=tp_min_shard, zero=zero, fsdp=fsdp)
+    state_sh = (pmesh.state_shardings(state, mesh, tp_min_shard, zero=zero,
+                                      fsdp=fsdp)
+                if pmesh.tp_size_of(mesh) > 1 or zero or fsdp else None)
     step = pmesh.shard_superstep(
         build_superstep(task, g_tx, d_tx,
                         int(cfg.optimisation.disc_freq),

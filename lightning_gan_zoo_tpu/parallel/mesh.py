@@ -225,7 +225,7 @@ def opt_shardings(tree, mesh: Mesh, min_shard: int = 8,
 
 
 def state_shardings(state, mesh: Mesh, min_shard: int = 8,
-                    zero: bool = False):
+                    zero: bool = False, fsdp: bool = False):
     """Per-leaf NamedShardings for a TrainState on a mesh.
 
     Model params, their optax moments, and the EMA twin shard their
@@ -240,10 +240,20 @@ def state_shardings(state, mesh: Mesh, min_shard: int = 8,
     runs the elementwise moment/update math on 1/data of the elements per
     chip and all-gathers only the param update. Divides per-chip optimizer
     memory (2x params for Adam) by the data-axis size at the cost of one
-    update-sized all-gather per optimizer step."""
+    update-sized all-gather per optimizer step.
+
+    ``fsdp`` (ZeRO-3, cfg.fsdp): the params and the EMA twin shard over
+    ('data', 'tp') as well (implies ``zero``) — GSPMD all-gathers each
+    weight just before its conv/matmul and reduce-scatters its gradient,
+    so the resident state per chip is 1/data of params+moments+EMA. The
+    MXU sees the full weight either way (the gather restores it), so the
+    tp lane floor doesn't apply to the 'data' factor."""
     rep = NamedSharding(mesh, P())
+    zero = zero or fsdp
 
     def shard_tree(t):
+        if fsdp:
+            return opt_shardings(t, mesh, min_shard, zero=True)
         return params_shardings(t, mesh, min_shard)
 
     def opt_tree(t):
@@ -290,9 +300,10 @@ def put_replicated(tree: Any, mesh: Mesh) -> Any:
     return jax.device_put(tree, rep)
 
 
-def put_state(state, mesh: Mesh, min_shard: int = 8, zero: bool = False):
+def put_state(state, mesh: Mesh, min_shard: int = 8, zero: bool = False,
+              fsdp: bool = False):
     """Stage a TrainState onto the mesh: per-leaf shardings when the mesh
-    has a tensor-parallel axis or ZeRO-1 is on, plain replication
+    has a tensor-parallel axis or ZeRO-1/FSDP is on, plain replication
     otherwise.
 
     Multi-process sharded staging: ``jax.device_put`` cannot target
@@ -300,9 +311,9 @@ def put_state(state, mesh: Mesh, min_shard: int = 8, zero: bool = False):
     own shards from the host-replicated value via
     ``make_array_from_callback`` (every process restores/initializes the
     identical state, so slicing the local copy is exact)."""
-    if tp_size_of(mesh) <= 1 and not zero:
+    if tp_size_of(mesh) <= 1 and not (zero or fsdp):
         return put_replicated(state, mesh)
-    sh = state_shardings(state, mesh, min_shard, zero)
+    sh = state_shardings(state, mesh, min_shard, zero, fsdp)
     if jax.process_count() == 1:
         return jax.device_put(state, sh)
 

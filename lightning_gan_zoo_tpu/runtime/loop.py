@@ -95,9 +95,14 @@ class Trainer:
         self._tp_min_shard = int(cfg.get("tp_min_shard", 8) or 8)
         # ZeRO-1 (cfg.zero_opt): shard Adam moments over ('data','tp') —
         # per-chip optimizer memory divides by the data-axis size; the
-        # update math runs sharded and GSPMD all-gathers only the updates
-        self._zero_opt = bool(cfg.get("zero_opt", False)) and \
-            self.mesh.devices.size > 1
+        # update math runs sharded and GSPMD all-gathers only the updates.
+        # FSDP / ZeRO-3 (cfg.fsdp): params + EMA shard the same way too
+        # (implies zero_opt) — weights all-gather at use, grads
+        # reduce-scatter; resident state per chip is 1/data of everything.
+        multi = self.mesh.devices.size > 1
+        self._fsdp = bool(cfg.get("fsdp", False)) and multi
+        self._zero_opt = (bool(cfg.get("zero_opt", False)) and multi) \
+            or self._fsdp
 
         # figures
         self.figures = self._build_figures()
@@ -249,7 +254,8 @@ class Trainer:
                     and self.state is not None:
                 state_sh = pmesh.state_shardings(self.state, self.mesh,
                                                  self._tp_min_shard,
-                                                 zero=self._zero_opt)
+                                                 zero=self._zero_opt,
+                                                 fsdp=self._fsdp)
             self._compiled[key] = pmesh.shard_superstep(raw, self.mesh,
                                                         folded=fold > 1,
                                                         state_sh=state_sh)
@@ -284,7 +290,7 @@ class Trainer:
                 self.epoch = saved_epoch
         self.state = pmesh.put_state(state, self.mesh,
                                      min_shard=self._tp_min_shard,
-                                     zero=self._zero_opt)
+                                     zero=self._zero_opt, fsdp=self._fsdp)
 
     def _sync_preempted(self) -> bool:
         """Cross-process agreement on the preemption flag. Must be called
