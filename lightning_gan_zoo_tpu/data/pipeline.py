@@ -34,10 +34,20 @@ class EpochLoader:
         self.process_index = process_index
         self.process_count = process_count
         self.prefetch = prefetch
+        # batch_size is the GLOBAL batch (training semantics must not
+        # change with host count — the BatchNorm/penalty-statistics
+        # contract, COMPONENTS.md); each process loads and yields only its
+        # stripe, and parallel/mesh.put_batch assembles the global array
+        # from the per-process shards
+        if self.batch_size % self.process_count:
+            raise ValueError(
+                f"global batch_size={self.batch_size} must divide over "
+                f"{self.process_count} processes")
+        self.local_batch = self.batch_size // self.process_count
 
     def steps_per_epoch(self) -> int:
         per_host = len(self.dataset) // self.process_count
-        span = self.batch_size * self.n_micro
+        span = self.local_batch * self.n_micro
         return per_host // span
 
     def epoch(self, epoch_idx: int) -> Iterator[Dict[str, np.ndarray]]:
@@ -48,7 +58,7 @@ class EpochLoader:
             rng = np.random.default_rng(self.seed + epoch_idx)
             rng.shuffle(order)
         order = order[self.process_index::self.process_count]
-        span = self.batch_size * self.n_micro
+        span = self.local_batch * self.n_micro
         n_steps = len(order) // span if self.drop_last else -(-len(order) // span)
         if n_steps == 0:
             raise ValueError(
@@ -80,10 +90,10 @@ class EpochLoader:
                         idx = np.concatenate([idx, order[:span - len(idx)]])
                     flat = self.dataset.load(idx)
                     stacked = {
-                        k: (v.reshape((self.n_micro, self.batch_size)
+                        k: (v.reshape((self.n_micro, self.local_batch)
                                       + v.shape[1:])
                             if not isinstance(v, dict) else
-                            {kk: vv.reshape((self.n_micro, self.batch_size)
+                            {kk: vv.reshape((self.n_micro, self.local_batch)
                                             + vv.shape[1:])
                              for kk, vv in v.items()})
                         for k, v in flat.items()}

@@ -44,7 +44,14 @@ def _resolve_version(cfg: Config, output_root: Path) -> str:
     base = output_root / cfg.name
     existing = [int(p.name.split("_")[-1]) for p in base.glob("version_*")
                 if p.name.split("_")[-1].isdigit()] if base.is_dir() else []
-    return f"version_{max(existing) + 1 if existing else 0}"
+    n = max(existing) + 1 if existing else 0
+    if jax.process_count() > 1:
+        # a process scanning after process 0 already created version_N
+        # would pick N+1 — all processes must land in the SAME run dir
+        from jax.experimental import multihost_utils
+        import numpy as np
+        n = int(multihost_utils.broadcast_one_to_all(np.int32(n)))
+    return f"version_{n}"
 
 
 def _dataset_kwargs(cfg: Config) -> dict:
@@ -224,10 +231,12 @@ class Trainer:
         disc_freq = int(self.cfg.optimisation.disc_freq)
         gen_freq = int(self.cfg.optimisation.gen_freq)
         n_micro = microbatch_count(disc_freq, gen_freq, self._accum_factor())
-        # a fold span must fit the per-host epoch (tiny smoke datasets)
-        per_host = len(ds) // max(jax.process_count(), 1)
-        max_fold = max(1, per_host // max(self.current_batch_size * n_micro,
-                                          1))
+        # a fold span must fit the per-host epoch (tiny smoke datasets);
+        # batch_size is GLOBAL, each host holds batch/process_count of it
+        nproc = max(jax.process_count(), 1)
+        per_host = len(ds) // nproc
+        local_batch = max(self.current_batch_size // nproc, 1)
+        max_fold = max(1, per_host // max(local_batch * n_micro, 1))
         self._active_fold = min(self._fold(), max_fold)
         return EpochLoader(ds, self.current_batch_size,
                            n_micro=n_micro * self._active_fold,
@@ -476,19 +485,31 @@ class Trainer:
                 global_step)
         except FileNotFoundError as e:
             print(f"[val] no val dataset: {e}")
+        # grid/figure generation inputs: single-process uses the live device
+        # arrays; multi-process gathers them to host first, so the
+        # process-0-gated figure draws are purely LOCAL computations — a
+        # jit over global cross-process arrays would need every process to
+        # participate in every draw, and its auto-sharded output could not
+        # be fetched on one process under tp/fsdp
+        if jax.process_count() > 1:
+            eval_g_params, eval_g_state = pmesh.gather_tree(
+                (self.state.eval_g_params, self.state.g_state))
+        else:
+            eval_g_params, eval_g_state = (self.state.eval_g_params,
+                                           self.state.g_state)
         fake = np.asarray(self.task.generate(
-            self.state.eval_g_params, self.state.g_state, self._fixed_noise,
-            rng=rng))
+            eval_g_params, eval_g_state, self._fixed_noise, rng=rng))
         self.logger.log_image(
             "Fake", make_grid(unnormalise(fake[..., :3],
                                           cfg.train.data_mean,
                                           cfg.train.data_std), ncol=8),
             global_step)
 
-        # FID / KID
+        # FID / KID (multi-process: host params → local computation on each
+        # process, identical results, logged by process 0 only)
         if self.metrics_eval is not None:
             fid_kid = self.metrics_eval.compute(
-                self.state.eval_g_params, self.state.g_state, rng)
+                eval_g_params, eval_g_state, rng)
             metrics.update(fid_kid)
             self.logger.log_scalars(fid_kid, global_step)
             print("  " + " ".join(f"{k}={v:.3f}" for k, v in fid_kid.items()))
@@ -499,8 +520,8 @@ class Trainer:
         if "fid" not in fig_metrics and "fid_uncalibrated" in fig_metrics:
             fig_metrics["fid"] = fig_metrics["fid_uncalibrated"]
         ctx = FigureContext(task=self.task,
-                            g_params=self.state.eval_g_params,
-                            g_state=self.state.g_state, cfg=cfg,
+                            g_params=eval_g_params,
+                            g_state=eval_g_state, cfg=cfg,
                             epoch=self.epoch, rng=rng)
         for fig in self.figures:
             try:

@@ -85,15 +85,24 @@ def test_epoch_loader_stacking_and_striping():
     assert batches[0]["image"].shape == (3, 4, 8, 8, 3)
     assert batches[0]["label"].shape == (3, 4)
 
-    # two-host striping: disjoint index sets, half the steps each
+    # two-host striping: batch_size is the GLOBAL batch — each process
+    # yields its batch/process_count stripe (disjoint indices), and the
+    # steps-per-epoch count equals the single-process count (training
+    # semantics must not change with host count)
     l0 = EpochLoader(ds, 4, n_micro=1, shuffle=False, process_index=0,
                      process_count=2)
     l1 = EpochLoader(ds, 4, n_micro=1, shuffle=False, process_index=1,
                      process_count=2)
     b0 = next(iter(l0.epoch(0)))
     b1 = next(iter(l1.epoch(0)))
+    assert b0["image"].shape == (1, 2, 8, 8, 3)
     assert not np.allclose(b0["image"], b1["image"])
-    assert l0.steps_per_epoch() == 8
+    assert l0.steps_per_epoch() == 16 == \
+        EpochLoader(ds, 4, n_micro=1, shuffle=False).steps_per_epoch()
+    # a global batch that can't stripe evenly is a config error
+    import pytest
+    with pytest.raises(ValueError):
+        EpochLoader(ds, 5, n_micro=1, process_index=0, process_count=2)
 
 
 def test_epoch_loader_reshuffles_per_epoch():

@@ -167,6 +167,90 @@ WORKER = textwrap.dedent("""
 """)
 
 
+WORKER_TRAINER = textwrap.dedent("""
+    import os, sys
+    sys.path.insert(0, os.environ["LGZT_REPO"])
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    NPROC = int(os.environ["LGZT_NPROC"])
+    jax.distributed.initialize(
+        coordinator_address=os.environ["LGZT_COORD"],
+        num_processes=NPROC, process_id=int(os.environ["LGZT_PID"]))
+    from jax._src import distributed as _dist
+    _dist.global_state.client.wait_at_barrier("lgzt_trainer", 300_000)
+
+    from lightning_gan_zoo_tpu.config import compose
+    from lightning_gan_zoo_tpu.runtime.loop import Trainer
+
+    # the PRODUCTION loop end-to-end across processes: loader striping,
+    # cross-process batch staging, tensor-parallel state (host-local tp
+    # groups), validation grids + figures (host-gathered params, process-0
+    # file writes), collective checkpoint saves, shared version resolution
+    cfg = compose(os.environ["LGZT_REPO"] + "/conf",
+                  ["+expt=dc_gan", "dataset=synthetic", "calc_fid=False",
+                   "save_ckpts=True", "precision=32", "train.img_size=16",
+                   "train.batch_size=8", "train.features_disc=8",
+                   "train.features_gen=8", "model.noise_dim=16",
+                   "dataset.n=32", "train.num_epochs=2", "num_gpus=8",
+                   "num_tp=2", "tp_min_shard=1",
+                   "figure_details.fid_callback=False",
+                   "output_root=" + os.environ["LGZT_OUTROOT"]])
+    t = Trainer(cfg)
+    t.fit()
+    assert int(t.state.step) == 8, int(t.state.step)
+    print(f"MPTRAIN {t.version} {int(t.state.step)}", flush=True)
+""")
+
+
+@pytest.mark.slow
+def test_multi_process_trainer_end_to_end(tmp_path):
+    """Two jax.distributed processes run the full production Trainer
+    (dc_gan, data x tp mesh) and must agree on the run dir, write exactly
+    one checkpoint, and produce the figure artifacts from process 0."""
+    nproc = 2
+    port = socket.socket()
+    port.bind(("localhost", 0))
+    coord = f"localhost:{port.getsockname()[1]}"
+    port.close()
+
+    worker_py = tmp_path / "worker_trainer.py"
+    worker_py.write_text(WORKER_TRAINER)
+    procs = []
+    for pid in range(nproc):
+        env = dict(os.environ)
+        env.pop("PALLAS_AXON_POOL_IPS", None)
+        env.pop("SLURM_JOB_ID", None)
+        env.pop("SUBMITIT_JOB_ID", None)
+        env["JAX_PLATFORMS"] = "cpu"
+        env["XLA_FLAGS"] = (
+            f"--xla_force_host_platform_device_count={8 // nproc}")
+        env["LGZT_COORD"] = coord
+        env["LGZT_NPROC"] = str(nproc)
+        env["LGZT_PID"] = str(pid)
+        env["LGZT_REPO"] = str(REPO_ROOT)
+        env["LGZT_OUTROOT"] = str(tmp_path / "out")
+        env.setdefault("JAX_COMPILATION_CACHE_DIR",
+                       os.path.expanduser("~/.cache/jax"))
+        procs.append(subprocess.Popen(
+            [sys.executable, str(worker_py)], env=env,
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True))
+    outs = [p.communicate(timeout=600) for p in procs]
+    for p, (out, err) in zip(procs, outs):
+        assert p.returncode == 0, f"worker failed:\n{out}\n{err[-3000:]}"
+    rows = [ln for out, _ in outs for ln in out.splitlines()
+            if ln.startswith("MPTRAIN")]
+    assert len(rows) == nproc
+    assert len({r.split()[1] for r in rows}) == 1, \
+        f"processes disagreed on the run dir: {rows}"
+    version = rows[0].split()[1]
+    run_dir = tmp_path / "out" / "dc_gan" / version
+    ckpts = list((run_dir / "ckpts").glob("model_*"))
+    assert len(ckpts) == 1, list((run_dir / "ckpts").iterdir())
+    figs = list((run_dir / "figures").glob("*"))
+    assert any(f.name == "SampleGrid.png" for f in figs), figs
+    assert (run_dir / "metrics.csv").exists()
+
+
 @pytest.mark.slow
 @pytest.mark.parametrize("nproc", [2, 4])
 def test_multi_process_data_parallel(tmp_path, nproc):
