@@ -130,6 +130,10 @@ class Figure:
         save_png(path, artefact)
 
     def draw_and_save(self, ctx: FigureContext):
+        # draw is local-only by contract: multi-process callers pass
+        # HOST-gathered params in ctx (runtime/loop.validate), so the
+        # non-main processes can skip the whole draw without stranding
+        # process 0 inside a cross-process computation
         if not is_main_process():
             return
         artefact = self.draw(ctx)

@@ -126,13 +126,16 @@ def test_trainer_end_to_end_tp(tmp_path):
         "save_ckpts=True", "train.batch_size=4", "train.img_size=16",
         "train.num_epochs=1", "dataset.n=16", "num_gpus=8", "num_tp=4",
         "tp_min_shard=1", "figure_details.fid_callback=False",
-        f"output_root={tmp_path}", "~figures"])
+        f"output_root={tmp_path}"])
     t = Trainer(cfg)
     t.fit()
     # 16 imgs / batch 4 = 4 micro-batches = 2 supersteps x (D+G) = 4 steps
     assert int(t.state.step) == 4
     _assert_actually_tp_sharded(t.state, t.mesh)
     assert list((t.logging_dir / "ckpts").glob("*")), "no checkpoint saved"
+    # figure draws consume the LIVE channel-sharded params (single-process:
+    # fully addressable, no gather)
+    assert (t.logging_dir / "figures" / "SampleGrid.png").exists()
 
 
 def test_trainer_tp_composes_with_fold_steps(tmp_path):
