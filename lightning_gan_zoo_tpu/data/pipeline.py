@@ -59,7 +59,13 @@ class EpochLoader:
             rng.shuffle(order)
         order = order[self.process_index::self.process_count]
         span = self.local_batch * self.n_micro
-        n_steps = len(order) // span if self.drop_last else -(-len(order) // span)
+        # the step count must be GLOBALLY consistent: stripes differ by one
+        # element when process_count doesn't divide len(dataset), and a
+        # process dispatching one extra collective superstep would deadlock
+        # its peers — derive the count from the common floor, not this
+        # stripe's length
+        per = n // self.process_count
+        n_steps = per // span if self.drop_last else -(-per // span)
         if n_steps == 0:
             raise ValueError(
                 f"Dataset of {n} images yields zero supersteps at "

@@ -162,8 +162,9 @@ class CheckpointManager:
         if not meta_path.exists():
             return -1
         try:
-            return int(json.loads(meta_path.read_text()).get("epoch", -1))
-        except (ValueError, json.JSONDecodeError):
+            epoch = json.loads(meta_path.read_text()).get("epoch")
+            return int(epoch) if epoch is not None else -1
+        except (ValueError, TypeError, json.JSONDecodeError):
             return -1
 
     def restore(self, path: Path, target) -> Tuple[Any, dict]:

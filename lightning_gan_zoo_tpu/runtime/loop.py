@@ -12,7 +12,7 @@ from __future__ import annotations
 import os
 import time
 from pathlib import Path
-from typing import Any, Dict, List
+from typing import Any, Dict, List, Optional
 
 import jax
 import jax.numpy as jnp
@@ -289,8 +289,10 @@ class Trainer:
             state, meta = self.ckpt.restore(resume_path,
                                             jax.device_get(state))
             self.epoch = int(meta.get("epoch", 0)) + 1
-            self.best_fid = float(meta.get("best_fid") or meta.get("fid")
-                                  or float("inf"))
+            bf = meta.get("best_fid")
+            if bf is None:          # explicit None checks: 0.0 is a real
+                bf = meta.get("fid")  # (excellent) FID, not "unset"
+            self.best_fid = float(bf) if bf is not None else float("inf")
             # fast-forward epoch-scheduled knobs (resolution, batch size)
             # without resetting the restored progressive-growing alpha
             for e in range(self.epoch + 1):
@@ -301,15 +303,27 @@ class Trainer:
                                      min_shard=self._tp_min_shard,
                                      zero=self._zero_opt, fsdp=self._fsdp)
 
-    def _sync_preempted(self) -> bool:
-        """Cross-process agreement on the preemption flag. Must be called
-        at the same loop point by every process (each superstep boundary
-        and the epoch-end rescue check): one collective OR, so all
-        processes break — and enter the collective rescue save — at the
-        SAME boundary. Single-process this is just the local flag."""
-        if jax.process_count() > 1:
-            self._preempted = pmesh.any_process_flag(self._preempted,
-                                                     self.mesh)
+    #: multi-host: agree on the preemption flag only every K superstep
+    #: boundaries — the collective's host-blocking fetch would otherwise
+    #: fence the dispatch pipeline every step. Exit is delayed by up to
+    #: K supersteps, well inside any preemption grace period.
+    _PREEMPT_SYNC_EVERY = 8
+
+    def _sync_preempted(self, boundary: Optional[int] = None) -> bool:
+        """Cross-process agreement on the preemption flag. Every process
+        must call this at the same loop points (superstep boundaries and
+        the epoch-end rescue check): at a sync boundary all processes run
+        one collective OR and break — entering the collective rescue save
+        — together. Off-cycle boundaries return False WITHOUT consulting
+        the local flag (a process acting on its own flag alone would
+        deadlock its peers). Single-process: just the local flag."""
+        if jax.process_count() == 1:
+            return self._preempted
+        if boundary is not None and \
+                (boundary + 1) % self._PREEMPT_SYNC_EVERY:
+            return False
+        self._preempted = pmesh.any_process_flag(self._preempted,
+                                                 self.mesh)
         return self._preempted
 
     # ------------------------------------------------------------------- train
@@ -404,7 +418,7 @@ class Trainer:
                 self.trace.tick()
                 for k, v in metrics.items():
                     epoch_metrics.setdefault(f"train/{k}", []).append(v)
-                if fast_dev_run or self._sync_preempted():
+                if fast_dev_run or self._sync_preempted(n_steps - 1):
                     break
 
             global_step = int(self.state.step)  # fences the epoch's chain
@@ -540,19 +554,18 @@ class Trainer:
         # checkpoint (best-FID policy; an uncalibrated FID never names a
         # checkpoint — without calibrated FID keep latest)
         fid = metrics.get("fid")
-        if (fid is None or fid < self.best_fid) and self.ckpt.save_ckpts:
-            if fid is not None:
-                self.best_fid = fid
+        improved = fid is None or fid < self.best_fid
+        if fid is not None and fid < self.best_fid:
+            self.best_fid = fid
+        if improved and self.ckpt.save_ckpts:
             # async mode hands orbax the live arrays (it snapshots them off
             # the device before returning; the commit overlaps training);
-            # the save_ckpts guard above keeps the full-state host gather
-            # from running just to be discarded by save_best's no-op path
+            # the save_ckpts guard keeps the full-state host gather from
+            # running just to be discarded by save_best's no-op path
             self.ckpt.save_best(
                 self.state if self.ckpt.async_save
                 else pmesh.gather_tree(self.state),
                 epoch=self.epoch, fid=fid)
-        elif fid is not None and fid < self.best_fid:
-            self.best_fid = fid
         return metrics
 
 

@@ -104,6 +104,17 @@ def test_epoch_loader_stacking_and_striping():
     with pytest.raises(ValueError):
         EpochLoader(ds, 5, n_micro=1, process_index=0, process_count=2)
 
+    # ragged dataset (n % process_count != 0): both processes must agree
+    # on the superstep count — a lone extra collective dispatch would
+    # deadlock the mesh
+    ds31 = Synthetic(n=31, img_size=8)
+    l0 = EpochLoader(ds31, 4, n_micro=1, shuffle=False, process_index=0,
+                     process_count=2)
+    l1 = EpochLoader(ds31, 4, n_micro=1, shuffle=False, process_index=1,
+                     process_count=2)
+    assert len(list(l0.epoch(0))) == len(list(l1.epoch(0))) \
+        == l0.steps_per_epoch() == 7
+
 
 def test_epoch_loader_reshuffles_per_epoch():
     ds = Synthetic(n=32, img_size=8)
