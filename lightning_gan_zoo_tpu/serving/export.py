@@ -37,7 +37,8 @@ VIEW_DIM = 6   # [azimuth, elevation, scale, tx, ty, tz] (figures/types.py)
 
 
 def build_exported_generator(task, g_params, g_state, extra, batch: int,
-                             pose: bool = False):
+                             pose: bool = False,
+                             dynamic_batch: bool = False):
     """jax.export the task's eval-mode generate() with params baked in.
 
     ``pose=True`` exports a POSE-CONDITIONED callable ``(z, view_in, seed)``
@@ -45,7 +46,14 @@ def build_exported_generator(task, g_params, g_state, extra, batch: int,
     (batch, 6) pose row [azimuth_rad, elevation_rad, scale, tx, ty, tz] —
     the serving-time counterpart of the reference's azimuth/elevation
     figure sweeps (core/figures/types.py:182-359). Default export keeps
-    the (z, seed) signature with internally sampled views."""
+    the (z, seed) signature with internally sampled views.
+
+    ``dynamic_batch=True`` exports with a SYMBOLIC batch dimension
+    (jax.export shape polymorphism): one artifact serves any batch size —
+    the TPU-serving norm, where request batches vary and per-shape
+    artifacts would each recompile. Falls back to the static ``batch``
+    (reason recorded in the sidecar) if a family's lowering rejects
+    symbolic shapes."""
     z_dim = int(task.noise_dim)
 
     if pose:
@@ -59,33 +67,54 @@ def build_exported_generator(task, g_params, g_state, extra, batch: int,
             return task.generate(g_params, g_state, z, rng=key, extra=extra,
                                  view_in=view_in)
 
-        args = (jax.ShapeDtypeStruct((batch, z_dim), jnp.float32),
-                jax.ShapeDtypeStruct((batch, VIEW_DIM), jnp.float32),
-                jax.ShapeDtypeStruct((), jnp.int32))
+        def make_args(b):
+            return (jax.ShapeDtypeStruct((b, z_dim), jnp.float32),
+                    jax.ShapeDtypeStruct((b, VIEW_DIM), jnp.float32),
+                    jax.ShapeDtypeStruct((), jnp.int32))
     else:
         def gen(z, seed):
             key = jax.random.PRNGKey(seed)
             return task.generate(g_params, g_state, z, rng=key, extra=extra)
 
-        args = (jax.ShapeDtypeStruct((batch, z_dim), jnp.float32),
-                jax.ShapeDtypeStruct((), jnp.int32))
-    try:  # multi-platform artifact (runs on TPU serving fleets AND CPU)
-        return jexport.export(jax.jit(gen), platforms=("tpu", "cpu"))(
-            *args), None
-    except Exception as e:  # noqa: BLE001 — an artifact must always ship;
-        # a platform-specific lowering (e.g. a Pallas custom call) rejects
-        # multi-platform export with NotImplementedError/ValueError, Mosaic
-        # and custom-call paths raise other types → fall back to the
-        # current backend only, and surface WHY in the sidecar so a real
-        # lowering bug can't hide as a silent single-platform downgrade
-        reason = f"{type(e).__name__}: {e}"
-    exp = jexport.export(jax.jit(gen))(*args)
-    return exp, reason
+        def make_args(b):
+            return (jax.ShapeDtypeStruct((b, z_dim), jnp.float32),
+                    jax.ShapeDtypeStruct((), jnp.int32))
+
+    def attempt(args, platforms):
+        if platforms:
+            return jexport.export(jax.jit(gen), platforms=platforms)(*args)
+        return jexport.export(jax.jit(gen))(*args)
+
+    # preference order: (symbolic batch if asked) x (tpu+cpu, then current
+    # backend only) — an artifact must always ship, and every downgrade is
+    # recorded in the sidecar so a real lowering bug can't hide
+    reasons = []
+    shapes = []
+    if dynamic_batch:
+        shapes.append(("dynamic", make_args(
+            jexport.symbolic_shape("batch")[0])))
+    shapes.append(("static", make_args(batch)))
+    for shape_kind, args in shapes:
+        for platforms in (("tpu", "cpu"), None):
+            try:
+                exp = attempt(args, platforms)
+            except Exception as e:  # noqa: BLE001 — platform-specific
+                # lowerings (e.g. Pallas custom calls) reject multi-platform
+                # export with NotImplementedError/ValueError, Mosaic and
+                # shape-polymorphism paths raise other types
+                reasons.append(f"{shape_kind}/"
+                               f"{'+'.join(platforms or ('native',))}: "
+                               f"{type(e).__name__}: {e}")
+                continue
+            return exp, (shape_kind == "dynamic",
+                         "; ".join(reasons) or None)
+    raise RuntimeError("every export attempt failed: "
+                       + "; ".join(reasons))
 
 
 def export_generator(conf_dir, overrides: Sequence[str], batch: int,
                      out_path, ckpt: Optional[str] = None, seed: int = 0,
-                     pose: bool = False):
+                     pose: bool = False, dynamic_batch: bool = False):
     """Compose the config, (optionally) restore a checkpoint, export G."""
     from ..config import compose
     from ..config.registry import instantiate
@@ -110,13 +139,16 @@ def export_generator(conf_dir, overrides: Sequence[str], batch: int,
         g_params = g_vars.pop("params")
         g_state = g_vars
 
-    exp, fallback_reason = build_exported_generator(
-        task, g_params, g_state, extra, batch, pose=pose)
+    exp, (is_dynamic, fallback_reason) = build_exported_generator(
+        task, g_params, g_state, extra, batch, pose=pose,
+        dynamic_batch=dynamic_batch)
     blob = exp.serialize()
     out_path = Path(out_path)
     out_path.write_bytes(blob)
     sidecar = {
-        "expt": str(cfg.name), "batch": batch, "z_dim": int(task.noise_dim),
+        "expt": str(cfg.name),
+        "batch": "dynamic" if is_dynamic else batch,
+        "z_dim": int(task.noise_dim),
         "img_size": int(cfg.train.img_size),
         "call": ("images = jax.export.deserialize(blob).call(z, view_in, "
                  "seed)" if pose else
@@ -138,7 +170,7 @@ def export_generator(conf_dir, overrides: Sequence[str], batch: int,
 def main(argv=None):
     argv = list(sys.argv[1:] if argv is None else argv)
     serving = {"batch": 8, "out": "generator.stablehlo", "ckpt": None,
-               "pose": False}
+               "pose": False, "dynamic": False}
     overrides = []
     for a in argv:
         if a.startswith("serving."):
@@ -147,12 +179,17 @@ def main(argv=None):
         else:
             overrides.append(a)
     conf_dir = Path(__file__).resolve().parents[2] / "conf"
+    def flag(name):
+        return str(serving[name]).lower() in ("1", "true", "yes")
+
     out, sidecar = export_generator(
         conf_dir, overrides, int(serving["batch"]), serving["out"],
-        ckpt=serving["ckpt"],
-        pose=str(serving["pose"]).lower() in ("1", "true", "yes"))
+        ckpt=serving["ckpt"], pose=flag("pose"),
+        dynamic_batch=flag("dynamic"))
     print(f"exported {sidecar['expt']} generator → {out} "
-          f"({out.stat().st_size/1e6:.1f} MB, platforms={sidecar['platforms']})")
+          f"({out.stat().st_size/1e6:.1f} MB, "
+          f"batch={sidecar['batch']}, "
+          f"platforms={sidecar['platforms']})")
 
 
 if __name__ == "__main__":

@@ -157,3 +157,32 @@ def test_export_pose_rejects_2d_family(tmp_path):
             CONF, ["+expt=dc_gan", "dataset=synthetic", "calc_fid=False",
                    "train.img_size=32"], batch=2,
             out_path=tmp_path / "x.stablehlo", pose=True)
+
+
+def test_export_dynamic_batch(tmp_path):
+    """serving.dynamic=true: ONE artifact with a symbolic batch dimension
+    serves any batch size (jax.export shape polymorphism) — the
+    TPU-serving norm where request batches vary."""
+    out = tmp_path / "g_dyn.stablehlo"
+    path, sidecar = export_generator(
+        CONF, ["+expt=dc_gan", "dataset=synthetic", "calc_fid=False",
+               "train.img_size=32"], batch=4, out_path=out,
+        dynamic_batch=True)
+    assert sidecar["batch"] == "dynamic", sidecar
+    g = jexport.deserialize(path.read_bytes())
+    for b in (3, 7):
+        z = jax.random.normal(jax.random.PRNGKey(b), (b, sidecar["z_dim"]))
+        img = g.call(z, jnp.int32(0))
+        assert img.shape == (b, 32, 32, 3)
+        assert np.isfinite(np.asarray(img, np.float32)).all()
+    # dynamic-batch output matches a static export at the same (z, seed)
+    out_s = tmp_path / "g_static.stablehlo"
+    path_s, _ = export_generator(
+        CONF, ["+expt=dc_gan", "dataset=synthetic", "calc_fid=False",
+               "train.img_size=32"], batch=3, out_path=out_s)
+    gs = jexport.deserialize(path_s.read_bytes())
+    z = jax.random.normal(jax.random.PRNGKey(9), (3, sidecar["z_dim"]))
+    np.testing.assert_allclose(
+        np.asarray(g.call(z, jnp.int32(5)), np.float32),
+        np.asarray(gs.call(z, jnp.int32(5)), np.float32),
+        atol=2e-5)
