@@ -186,27 +186,53 @@ WORKER_TRAINER = textwrap.dedent("""
     # cross-process batch staging, tensor-parallel state (host-local tp
     # groups), validation grids + figures (host-gathered params, process-0
     # file writes), collective checkpoint saves, shared version resolution
+    import json as _json
     cfg = compose(os.environ["LGZT_REPO"] + "/conf",
-                  ["+expt=dc_gan", "dataset=synthetic", "calc_fid=False",
-                   "save_ckpts=True", "precision=32", "train.img_size=16",
-                   "train.batch_size=8", "train.features_disc=8",
-                   "train.features_gen=8", "model.noise_dim=16",
-                   "dataset.n=32", "train.num_epochs=2", "num_gpus=8",
-                   "num_tp=2", "tp_min_shard=1",
-                   "figure_details.fid_callback=False",
-                   "output_root=" + os.environ["LGZT_OUTROOT"]])
+                  _json.loads(os.environ["LGZT_OVERRIDES"])
+                  + ["output_root=" + os.environ["LGZT_OUTROOT"]])
     t = Trainer(cfg)
     t.fit()
-    assert int(t.state.step) == 8, int(t.state.step)
+    want = int(os.environ["LGZT_EXPECT_STEPS"])
+    assert int(t.state.step) == want, int(t.state.step)
     print(f"MPTRAIN {t.version} {int(t.state.step)}", flush=True)
 """)
 
+# family -> (override list, expected final state.step over 2 epochs)
+TRAINER_CASES = {
+    # conv family on a (data=4 x tp=2) mesh, figures + checkpoint on:
+    # 32 imgs / global batch 8 = 4 micro = 2 supersteps x (D+G) per epoch
+    "dc_gan": ([
+        "+expt=dc_gan", "dataset=synthetic", "calc_fid=False",
+        "save_ckpts=True", "precision=32", "train.img_size=16",
+        "train.batch_size=8", "train.features_disc=8",
+        "train.features_gen=8", "model.noise_dim=16", "dataset.n=32",
+        "train.num_epochs=2", "num_gpus=8", "num_tp=2", "tp_min_shard=1",
+        "figure_details.fid_callback=False"], 8),
+    # NeRF family on a (data=4 x sp=2) ray-sharded mesh with the default
+    # fold (clamped to the dataset span): 32 imgs / global batch 4 =
+    # 8 micro = 4 supersteps x (D+G) per epoch
+    "pigan": ([
+        "+expt=pigan", "machine=local", "dataset=synthetic",
+        "calc_fid=False", "save_ckpts=True", "precision=32",
+        "model.noise_dim=16", "nerf.siren_dim_hidden=32",
+        "nerf.siren_num_layers=2", "nerf.n_pts_per_ray=4",
+        "nerf.n_pts_per_ray_fine=4", "train.features_disc=8",
+        "train.img_size=64", "resolution_annealing.resolutions=[8,16]",
+        "train.batch_size=4", "variable_batch_size.batch_sizes=[4,4]",
+        "dataset.n=32", "train.num_epochs=2", "num_gpus=8", "num_sp=2",
+        "figure_details.fid_callback=False", "~figures"], 16),
+}
+
 
 @pytest.mark.slow
-def test_multi_process_trainer_end_to_end(tmp_path):
-    """Two jax.distributed processes run the full production Trainer
-    (dc_gan, data x tp mesh) and must agree on the run dir, write exactly
-    one checkpoint, and produce the figure artifacts from process 0."""
+@pytest.mark.parametrize("family", ["dc_gan", "pigan"])
+def test_multi_process_trainer_end_to_end(tmp_path, family):
+    """Two jax.distributed processes run the full production Trainer —
+    dc_gan on a (data x tp) mesh with figures on, pigan on a (data x sp)
+    ray-sharded mesh across its annealing schedule — and must agree on
+    the run dir, write exactly one checkpoint, and produce the artifacts
+    from process 0."""
+    overrides, expect_steps = TRAINER_CASES[family]
     nproc = 2
     port = socket.socket()
     port.bind(("localhost", 0))
@@ -229,6 +255,8 @@ def test_multi_process_trainer_end_to_end(tmp_path):
         env["LGZT_PID"] = str(pid)
         env["LGZT_REPO"] = str(REPO_ROOT)
         env["LGZT_OUTROOT"] = str(tmp_path / "out")
+        env["LGZT_OVERRIDES"] = __import__("json").dumps(overrides)
+        env["LGZT_EXPECT_STEPS"] = str(expect_steps)
         env.setdefault("JAX_COMPILATION_CACHE_DIR",
                        os.path.expanduser("~/.cache/jax"))
         procs.append(subprocess.Popen(
@@ -243,11 +271,12 @@ def test_multi_process_trainer_end_to_end(tmp_path):
     assert len({r.split()[1] for r in rows}) == 1, \
         f"processes disagreed on the run dir: {rows}"
     version = rows[0].split()[1]
-    run_dir = tmp_path / "out" / "dc_gan" / version
+    run_dir = tmp_path / "out" / family / version
     ckpts = list((run_dir / "ckpts").glob("model_*"))
     assert len(ckpts) == 1, list((run_dir / "ckpts").iterdir())
-    figs = list((run_dir / "figures").glob("*"))
-    assert any(f.name == "SampleGrid.png" for f in figs), figs
+    if family == "dc_gan":
+        figs = list((run_dir / "figures").glob("*"))
+        assert any(f.name == "SampleGrid.png" for f in figs), figs
     assert (run_dir / "metrics.csv").exists()
 
 
