@@ -65,7 +65,21 @@ def make_mesh(num_devices: Optional[int] = None, sp: int = 1,
         if tp > 1:
             shape.append(tp)
             names.append("tp")
-        arr = np.asarray(devices).reshape(shape)
+        arr = None
+        if jax.process_count() == 1 and len(devices) == len(jax.devices()):
+            # single-controller TPU slice: let mesh_utils place the axes on
+            # the physical ICI torus (minor axes on nearest-neighbour
+            # rings) instead of raw enumeration order. Multi-process keeps
+            # the process-major order — the host-local tp/sp-group
+            # contract (gather_tree, batch striping) depends on it.
+            try:
+                from jax.experimental import mesh_utils
+                arr = mesh_utils.create_device_mesh(tuple(shape),
+                                                    devices=devices)
+            except Exception:  # noqa: BLE001 — unusual topologies/subsets
+                arr = None
+        if arr is None:
+            arr = np.asarray(devices).reshape(shape)
         return Mesh(arr, tuple(names))
     return Mesh(np.asarray(devices), ("data",))
 
