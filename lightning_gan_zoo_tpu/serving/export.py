@@ -114,7 +114,8 @@ def build_exported_generator(task, g_params, g_state, extra, batch: int,
 
 def export_generator(conf_dir, overrides: Sequence[str], batch: int,
                      out_path, ckpt: Optional[str] = None, seed: int = 0,
-                     pose: bool = False, dynamic_batch: bool = False):
+                     pose: bool = False, dynamic_batch: bool = False,
+                     dtype: str = "f32"):
     """Compose the config, (optionally) restore a checkpoint, export G."""
     from ..config import compose
     from ..config.registry import instantiate
@@ -125,6 +126,9 @@ def export_generator(conf_dir, overrides: Sequence[str], batch: int,
     task = instantiate(cfg.model.lm, cfg, str(Path(out_path).parent))
     g_vars, d_vars = task.init(jax.random.PRNGKey(seed))
     extra = task.initial_extra()
+    dtype = str(dtype or "f32").lower()
+    if dtype not in ("f32", "float32", "bf16", "bfloat16"):
+        raise ValueError(f"serving.dtype must be f32|bf16, got {dtype!r}")
     if ckpt:
         d_tx, g_tx = task.configure_optimizers(steps_per_epoch=1)
         template = create_train_state(
@@ -139,6 +143,15 @@ def export_generator(conf_dir, overrides: Sequence[str], batch: int,
         g_params = g_vars.pop("params")
         g_state = g_vars
 
+    if dtype in ("bf16", "bfloat16"):
+        # halve the baked-constant weight payload; training already runs
+        # the compute path in bf16 (the precision=16 policy), so serving
+        # from bf16 weights matches the trained numerics
+        def _cast(x):
+            x = jnp.asarray(x)
+            return x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x
+        g_params = jax.tree.map(_cast, g_params)
+
     exp, (is_dynamic, fallback_reason) = build_exported_generator(
         task, g_params, g_state, extra, batch, pose=pose,
         dynamic_batch=dynamic_batch)
@@ -148,6 +161,8 @@ def export_generator(conf_dir, overrides: Sequence[str], batch: int,
     sidecar = {
         "expt": str(cfg.name),
         "batch": "dynamic" if is_dynamic else batch,
+        "weights_dtype": ("bf16" if dtype in ("bf16", "bfloat16")
+                          else "f32"),
         "z_dim": int(task.noise_dim),
         "img_size": int(cfg.train.img_size),
         "call": ("images = jax.export.deserialize(blob).call(z, view_in, "
@@ -170,7 +185,7 @@ def export_generator(conf_dir, overrides: Sequence[str], batch: int,
 def main(argv=None):
     argv = list(sys.argv[1:] if argv is None else argv)
     serving = {"batch": 8, "out": "generator.stablehlo", "ckpt": None,
-               "pose": False, "dynamic": False}
+               "pose": False, "dynamic": False, "dtype": "f32"}
     overrides = []
     for a in argv:
         if a.startswith("serving."):
@@ -185,7 +200,7 @@ def main(argv=None):
     out, sidecar = export_generator(
         conf_dir, overrides, int(serving["batch"]), serving["out"],
         ckpt=serving["ckpt"], pose=flag("pose"),
-        dynamic_batch=flag("dynamic"))
+        dynamic_batch=flag("dynamic"), dtype=str(serving["dtype"]))
     print(f"exported {sidecar['expt']} generator → {out} "
           f"({out.stat().st_size/1e6:.1f} MB, "
           f"batch={sidecar['batch']}, "

@@ -186,3 +186,25 @@ def test_export_dynamic_batch(tmp_path):
         np.asarray(g.call(z, jnp.int32(5)), np.float32),
         np.asarray(gs.call(z, jnp.int32(5)), np.float32),
         atol=2e-5)
+
+
+def test_export_bf16_weights(tmp_path):
+    """serving.dtype=bf16 halves the baked-constant payload; outputs stay
+    close to the f32 export (training computes in bf16 anyway)."""
+    ov = ["+expt=dc_gan", "dataset=synthetic", "calc_fid=False",
+          "train.img_size=32"]
+    p32, _ = export_generator(CONF, ov, batch=4,
+                              out_path=tmp_path / "g32.stablehlo")
+    p16, sc = export_generator(CONF, ov, batch=4,
+                               out_path=tmp_path / "g16.stablehlo",
+                               dtype="bf16")
+    assert sc["weights_dtype"] == "bf16"
+    assert p16.stat().st_size < 0.66 * p32.stat().st_size
+    g32 = jexport.deserialize(p32.read_bytes())
+    g16 = jexport.deserialize(p16.read_bytes())
+    z = jax.random.normal(jax.random.PRNGKey(2), (4, sc["z_dim"]))
+    a = np.asarray(g32.call(z, jnp.int32(0)), np.float32)
+    b = np.asarray(g16.call(z, jnp.int32(0)), np.float32)
+    assert np.isfinite(b).all()
+    # images live in [-1, 1]; bf16 weight rounding stays a small perturbation
+    assert np.abs(a - b).mean() < 0.05, np.abs(a - b).mean()
