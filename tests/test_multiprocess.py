@@ -121,6 +121,21 @@ WORKER = textwrap.dedent("""
     assert f1 is True and f0 is False
     print(f"MPFLAG {int(f1)} {int(f0)}", flush=True)
 
+    # gather_tree's COLLECTIVE fallback: an array sharded across processes
+    # (this process's shards do NOT cover it) must come back via
+    # process_allgather — the layout zero_opt moments have at checkpoint
+    # time. Every process calls it together (the save sites are collective)
+    from jax.sharding import NamedSharding, PartitionSpec as GP
+    gfull = np.arange(16, dtype=np.float32)
+    gsh = NamedSharding(mesh, GP("data"))
+    per_g = 16 // NPROC
+    garr = jax.make_array_from_process_local_data(
+        gsh, gfull[pid * per_g:(pid + 1) * per_g])
+    assert not garr.is_fully_addressable
+    back = pmesh.gather_tree({"m": garr})["m"]
+    assert isinstance(back, np.ndarray) and np.array_equal(back, gfull)
+    print(f"MPGATHER {float(back.sum()):.1f}", flush=True)
+
     # tensor-parallel across the SAME multi-process layout (host-local tp
     # groups: tp divides the local device count, parallel/mesh.py): the
     # identical global batch through a (data x tp) mesh with ACTUALLY
@@ -345,6 +360,10 @@ def test_multi_process_data_parallel(tmp_path, nproc):
     assert len(flag_rows) == nproc
     for r in flag_rows:
         assert r == [1.0, 0.0]
+
+    # collective gather fallback: full array recovered on every process
+    g_rows = rows("MPGATHER")
+    assert len(g_rows) == nproc and all(r == [120.0] for r in g_rows)
 
     # tensor-parallel over the same processes: identical losses on every
     # process, and the (data x tp)-sharded run reproduces the dp losses
