@@ -76,7 +76,10 @@ def make_mesh(num_devices: Optional[int] = None, sp: int = 1,
                 from jax.experimental import mesh_utils
                 arr = mesh_utils.create_device_mesh(tuple(shape),
                                                     devices=devices)
-            except Exception:  # noqa: BLE001 — unusual topologies/subsets
+            except Exception as e:  # noqa: BLE001 — odd topologies/subsets
+                print(f"[mesh] topology-aware placement unavailable "
+                      f"({type(e).__name__}: {e}); using enumeration "
+                      f"order", flush=True)
                 arr = None
         if arr is None:
             arr = np.asarray(devices).reshape(shape)

@@ -53,7 +53,11 @@ def build_exported_generator(task, g_params, g_state, extra, batch: int,
     the TPU-serving norm, where request batches vary and per-shape
     artifacts would each recompile. Falls back to the static ``batch``
     (reason recorded in the sidecar) if a family's lowering rejects
-    symbolic shapes."""
+    symbolic shapes.
+
+    Returns ``(exported, info)`` where ``info`` is a dict with keys
+    ``dynamic`` (bool — whether the symbolic-batch export shipped) and
+    ``fallback_reason`` (str or None — every downgrade taken)."""
     z_dim = int(task.noise_dim)
 
     if pose:
@@ -91,8 +95,12 @@ def build_exported_generator(task, g_params, g_state, extra, batch: int,
     reasons = []
     shapes = []
     if dynamic_batch:
-        shapes.append(("dynamic", make_args(
-            jexport.symbolic_shape("batch")[0])))
+        try:  # symbolic-dim construction itself is fallback-protected too
+            shapes.append(("dynamic", make_args(
+                jexport.symbolic_shape("batch")[0])))
+        except Exception as e:  # noqa: BLE001
+            reasons.append(f"dynamic/symbolic_shape: "
+                           f"{type(e).__name__}: {e}")
     shapes.append(("static", make_args(batch)))
     for shape_kind, args in shapes:
         for platforms in (("tpu", "cpu"), None):
@@ -106,8 +114,8 @@ def build_exported_generator(task, g_params, g_state, extra, batch: int,
                                f"{'+'.join(platforms or ('native',))}: "
                                f"{type(e).__name__}: {e}")
                 continue
-            return exp, (shape_kind == "dynamic",
-                         "; ".join(reasons) or None)
+            return exp, {"dynamic": shape_kind == "dynamic",
+                         "fallback_reason": "; ".join(reasons) or None}
     raise RuntimeError("every export attempt failed: "
                        + "; ".join(reasons))
 
@@ -122,13 +130,15 @@ def export_generator(conf_dir, overrides: Sequence[str], batch: int,
     from ..runtime.checkpoint import CheckpointManager
     from ..runtime.state import create_train_state
 
+    dtype = str(dtype or "f32").lower()
+    if dtype not in ("f32", "float32", "bf16", "bfloat16"):
+        raise ValueError(f"serving.dtype must be f32|bf16, got {dtype!r}")
+    dtype = "bf16" if dtype in ("bf16", "bfloat16") else "f32"
+
     cfg = compose(conf_dir, list(overrides))
     task = instantiate(cfg.model.lm, cfg, str(Path(out_path).parent))
     g_vars, d_vars = task.init(jax.random.PRNGKey(seed))
     extra = task.initial_extra()
-    dtype = str(dtype or "f32").lower()
-    if dtype not in ("f32", "float32", "bf16", "bfloat16"):
-        raise ValueError(f"serving.dtype must be f32|bf16, got {dtype!r}")
     if ckpt:
         d_tx, g_tx = task.configure_optimizers(steps_per_epoch=1)
         template = create_train_state(
@@ -143,7 +153,7 @@ def export_generator(conf_dir, overrides: Sequence[str], batch: int,
         g_params = g_vars.pop("params")
         g_state = g_vars
 
-    if dtype in ("bf16", "bfloat16"):
+    if dtype == "bf16":
         # halve the baked-constant weight payload; training already runs
         # the compute path in bf16 (the precision=16 policy), so serving
         # from bf16 weights matches the trained numerics
@@ -152,17 +162,17 @@ def export_generator(conf_dir, overrides: Sequence[str], batch: int,
             return x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x
         g_params = jax.tree.map(_cast, g_params)
 
-    exp, (is_dynamic, fallback_reason) = build_exported_generator(
+    exp, info = build_exported_generator(
         task, g_params, g_state, extra, batch, pose=pose,
         dynamic_batch=dynamic_batch)
+    is_dynamic, fallback_reason = info["dynamic"], info["fallback_reason"]
     blob = exp.serialize()
     out_path = Path(out_path)
     out_path.write_bytes(blob)
     sidecar = {
         "expt": str(cfg.name),
         "batch": "dynamic" if is_dynamic else batch,
-        "weights_dtype": ("bf16" if dtype in ("bf16", "bfloat16")
-                          else "f32"),
+        "weights_dtype": dtype,
         "z_dim": int(task.noise_dim),
         "img_size": int(cfg.train.img_size),
         "call": ("images = jax.export.deserialize(blob).call(z, view_in, "

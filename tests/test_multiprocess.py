@@ -6,6 +6,7 @@ jax.distributed, each contributes its stripe of the global batch
 runs with XLA's cross-process psum. The loss must match a single-process
 8-device run of the same global batch — the reference's DDP contract
 (run_network.py:66, one process per GPU, NCCL all-reduce)."""
+import json
 import os
 import socket
 import subprocess
@@ -270,7 +271,7 @@ def test_multi_process_trainer_end_to_end(tmp_path, family):
         env["LGZT_PID"] = str(pid)
         env["LGZT_REPO"] = str(REPO_ROOT)
         env["LGZT_OUTROOT"] = str(tmp_path / "out")
-        env["LGZT_OVERRIDES"] = __import__("json").dumps(overrides)
+        env["LGZT_OVERRIDES"] = json.dumps(overrides)
         env["LGZT_EXPECT_STEPS"] = str(expect_steps)
         env.setdefault("JAX_COMPILATION_CACHE_DIR",
                        os.path.expanduser("~/.cache/jax"))
@@ -351,7 +352,6 @@ def test_multi_process_data_parallel(tmp_path, nproc):
         np.testing.assert_allclose(ck_rows[0], other, rtol=0, atol=0)
     ckpts = list((tmp_path / "ckpts").glob("model_*"))
     assert len(ckpts) == 1
-    import json
     meta = json.loads((ckpts[0] / "train_meta.json").read_text())
     assert meta["epoch"] == 3 and meta["best_fid"] == 1.5
 
