@@ -279,7 +279,9 @@ def test_multi_process_trainer_end_to_end(tmp_path, family):
         procs.append(subprocess.Popen(
             [sys.executable, str(worker_py)], env=env,
             stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True))
-    outs = [p.communicate(timeout=600) for p in procs]
+    # 900s: cold NeRF compiles x2 workers on one core under
+    # full-suite contention exceed 600s
+    outs = [p.communicate(timeout=900) for p in procs]
     for p, (out, err) in zip(procs, outs):
         assert p.returncode == 0, f"worker failed:\n{out}\n{err[-3000:]}"
     rows = [ln for out, _ in outs for ln in out.splitlines()
@@ -325,7 +327,9 @@ def test_multi_process_data_parallel(tmp_path, nproc):
         procs.append(subprocess.Popen(
             [sys.executable, str(worker_py)], env=env,
             stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True))
-    outs = [p.communicate(timeout=600) for p in procs]
+    # 900s: cold NeRF compiles x2 workers on one core under
+    # full-suite contention exceed 600s
+    outs = [p.communicate(timeout=900) for p in procs]
     for p, (out, err) in zip(procs, outs):
         assert p.returncode == 0, f"worker failed:\n{out}\n{err[-3000:]}"
     def rows(tag):
