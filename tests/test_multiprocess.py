@@ -216,7 +216,9 @@ WORKER_TRAINER = textwrap.dedent("""
 
 # family -> (override list, expected final state.step over 2 epochs)
 TRAINER_CASES = {
-    # conv family on a (data=4 x tp=2) mesh, figures + checkpoint on:
+    # conv family on a (data=4 x tp=2) mesh with ZeRO-1 moments, figures +
+    # checkpoint on — the save gathers data-sharded moments across
+    # processes (gather_tree's collective fallback on the REAL save path):
     # 32 imgs / global batch 8 = 4 micro = 2 supersteps x (D+G) per epoch
     "dc_gan": ([
         "+expt=dc_gan", "dataset=synthetic", "calc_fid=False",
@@ -224,7 +226,7 @@ TRAINER_CASES = {
         "train.batch_size=8", "train.features_disc=8",
         "train.features_gen=8", "model.noise_dim=16", "dataset.n=32",
         "train.num_epochs=2", "num_gpus=8", "num_tp=2", "tp_min_shard=1",
-        "figure_details.fid_callback=False"], 8),
+        "zero_opt=true", "figure_details.fid_callback=False"], 8),
     # NeRF family on a (data=4 x sp=2) ray-sharded mesh with the default
     # fold (clamped to the dataset span): 32 imgs / global batch 4 =
     # 8 micro = 4 supersteps x (D+G) per epoch
