@@ -401,6 +401,25 @@ def is_main_process() -> bool:
     return jax.process_index() == 0
 
 
+def broadcast_metrics(metrics: dict) -> dict:
+    """Replace every process's scalar metric dict with process 0's values.
+
+    Multi-host control decisions derived from locally-computed metrics
+    (best-FID improvement gating the COLLECTIVE checkpoint save) must be
+    identical on every process or the mesh deadlocks; rather than assume
+    bit-identical local FID computation across device generations /
+    nondeterministic reductions, one tiny broadcast makes process 0
+    authoritative (ADVICE r3). Single-process: returns the dict unchanged.
+    Key order must match across processes (it does — same config)."""
+    if jax.process_count() == 1 or not metrics:
+        return metrics
+    from jax.experimental import multihost_utils
+    keys = sorted(metrics)
+    vals = np.asarray([float(metrics[k]) for k in keys], np.float64)
+    vals = np.asarray(multihost_utils.broadcast_one_to_all(vals))
+    return {k: float(v) for k, v in zip(keys, vals)}
+
+
 _FLAG_MAX = None
 
 

@@ -57,6 +57,7 @@ class CheckpointManager:
         self._restorer = (ocp.StandardCheckpointer() if self.async_save
                           else self._ckptr)
         self._pending_meta: Optional[Tuple[Path, dict]] = None
+        self._pending_cleanup: list[Path] = []
         if save_ckpts:
             if _is_main():
                 self.dir.mkdir(parents=True, exist_ok=True)
@@ -65,7 +66,9 @@ class CheckpointManager:
     # -- save ---------------------------------------------------------------
     def _flush_pending(self):
         """Block until an in-flight async commit lands, then write its
-        deferred metadata (the checkpoint dir only exists post-commit)."""
+        deferred metadata (the checkpoint dir only exists post-commit) and
+        only THEN delete the checkpoint it superseded — a crash anywhere in
+        the async window must always leave one restorable checkpoint."""
         self._ckptr.wait_until_finished()
         if self._pending_meta is not None:
             path, info = self._pending_meta
@@ -73,6 +76,12 @@ class CheckpointManager:
             if _is_main():
                 (path / "train_meta.json").write_text(json.dumps(info))
             _barrier("pending_meta")
+        if self._pending_cleanup:
+            olds, self._pending_cleanup = self._pending_cleanup, []
+            if _is_main():
+                for old in olds:
+                    shutil.rmtree(old, ignore_errors=True)
+            _barrier("retention")
 
     def save_best(self, state, *, epoch: int, fid: Optional[float],
                   meta: Optional[dict] = None):
@@ -86,28 +95,37 @@ class CheckpointManager:
         tag = f"model_best-{fid:.2f}" if fid is not None else \
             f"model_epoch-{epoch}"
         path = (self.dir / tag).absolute()
-        # retention cleanup is a process-0 fs mutation (orbax's save below
-        # is a COLLECTIVE — every process calls it; orbax writes from the
-        # primary and barriers internally)
-        if _is_main():
-            for old in self.dir.glob("model_*"):
-                if old.absolute() != path:
-                    shutil.rmtree(old, ignore_errors=True)
-            if path.exists():
-                shutil.rmtree(path)
-        _barrier("retention")
+        # SAVE-THEN-DELETE: superseded checkpoints are removed only after
+        # the replacement is fully committed (+ its meta written), so a hard
+        # crash (OOM/SIGKILL — no rescue fires) at any point leaves at least
+        # one restorable checkpoint. Only a same-tag collision (identical
+        # fid) must be cleared pre-save — orbax refuses to overwrite.
+        # Retention fs mutations are process-0-only (orbax's save below is a
+        # COLLECTIVE — every process calls it; orbax writes from the primary
+        # and barriers internally).
+        olds = [old.absolute() for old in self.dir.glob("model_*")
+                if old.absolute() != path
+                and ".orbax-checkpoint-tmp" not in old.name]
+        if _is_main() and path.exists():
+            shutil.rmtree(path)
+        _barrier("pre_save")
         info = {"epoch": epoch, "fid": fid, **(meta or {})}
         if self.async_save:
             # hand orbax the live (possibly device) arrays: it snapshots
             # them before returning, then commits in the background
             self._ckptr.save(path, state)
             self._pending_meta = (path, info)
+            self._pending_cleanup = olds
             return
         self._ckptr.save(path, jax.device_get(state))
         self._ckptr.wait_until_finished()
         if _is_main():
             (path / "train_meta.json").write_text(json.dumps(info))
         _barrier("meta")
+        if _is_main():
+            for old in olds:
+                shutil.rmtree(old, ignore_errors=True)
+        _barrier("retention")
 
     def finalize(self):
         """Block until any in-flight async save is fully committed (call at
@@ -117,11 +135,16 @@ class CheckpointManager:
     # -- restore ------------------------------------------------------------
     @staticmethod
     def find_ckpt(ckpt_dir: Optional[str | Path]) -> Optional[Path]:
-        """Reference find_ckpt (run_network.py:19-23): scan for checkpoints,
-        assert at most one. Orbax in-progress staging dirs
-        (``*.orbax-checkpoint-tmp-*`` — left behind when a process dies
-        mid-commit, a window async_save widens to whole epochs) are never
-        resume candidates."""
+        """Reference find_ckpt (run_network.py:19-23): scan for checkpoints.
+        Orbax in-progress staging dirs (``*.orbax-checkpoint-tmp-*`` — left
+        behind when a process dies mid-commit, a window async_save widens to
+        whole epochs) are never resume candidates.
+
+        Deviation from the reference's hard assert on multiples: retention
+        is save-then-delete, so a crash between the new commit and the old
+        cleanup legitimately leaves two checkpoints — arbitrate by recorded
+        epoch (meta-less dirs rank last), then mtime, and resume from the
+        newest instead of refusing to start."""
         if not ckpt_dir:
             return None
         d = Path(ckpt_dir)
@@ -129,25 +152,49 @@ class CheckpointManager:
             return None
         ckpts = sorted(p for p in d.glob("model_*") if p.is_dir()
                        and ".orbax-checkpoint-tmp" not in p.name)
-        assert len(ckpts) <= 1, \
-            f"Multiple checkpoints in {d}: {[c.name for c in ckpts]}"
-        return ckpts[0] if ckpts else None
+        if len(ckpts) <= 1:
+            return ckpts[0] if ckpts else None
+        return max(ckpts, key=lambda p: (CheckpointManager.ckpt_epoch(p),
+                                         p.stat().st_mtime))
 
     @staticmethod
-    def select_resume(ckpt_dir: Optional[str | Path]) -> Optional[Path]:
+    def select_resume(ckpt_dir: Optional[str | Path],
+                      extra_rescue_dirs=()) -> Optional[Path]:
         """Pick the resume source: the best-FID checkpoint in ``ckpt_dir``
-        or the preemption rescue in the sibling ``ckpts_rescue/`` —
-        whichever carries the newer epoch (ties go to the rescue: it was
-        written after the same-epoch validation checkpoint). A stale
-        rescue surviving from an earlier preemption that was already
-        resumed and trained past must not roll training back."""
-        best = CheckpointManager.find_ckpt(ckpt_dir)
+        or the newest preemption rescue — whichever carries the newer epoch
+        (ties go to the rescue: it was written after the same-epoch
+        validation checkpoint). A stale rescue surviving from an earlier
+        preemption that was already resumed and trained past must not roll
+        training back.
+
+        Rescue candidates (ADVICE r3): the configured dir's sibling
+        ``<version>/ckpts_rescue`` (historical per-run location), the
+        run-stable experiment-level ``<exp>/ckpts_rescue`` two levels up
+        (where new rescues land — survives version-dir changes across
+        requeues), and any ``extra_rescue_dirs`` the Trainer passes for the
+        current run. An automated requeue re-running the same command thus
+        resumes from the NEWEST rescue instead of livelocking on the
+        original run's. With ``ckpt_dir`` unset nothing is scanned — a
+        fresh run never silently resumes."""
         if not ckpt_dir:
+            return None
+        best = CheckpointManager.find_ckpt(ckpt_dir)
+        candidates = [Path(ckpt_dir).parent / "ckpts_rescue",
+                      Path(ckpt_dir).parent.parent / "ckpts_rescue",
+                      *(Path(p) for p in extra_rescue_dirs)]
+        rescues, seen = [], set()
+        for d in candidates:
+            d = d.absolute()
+            if d in seen:
+                continue
+            seen.add(d)
+            r = CheckpointManager.find_ckpt(d)
+            if r is not None:
+                rescues.append(r)
+        if not rescues:
             return best
-        rescue = CheckpointManager.find_ckpt(
-            Path(ckpt_dir).parent / "ckpts_rescue")
-        if rescue is None:
-            return best
+        rescue = max(rescues, key=lambda p: (
+            CheckpointManager.ckpt_epoch(p), p.stat().st_mtime))
         if best is None or (CheckpointManager.ckpt_epoch(rescue) >=
                             CheckpointManager.ckpt_epoch(best)):
             return rescue

@@ -85,7 +85,7 @@ class Trainer:
         n_dev = int(cfg.get("num_gpus", 1) or 1)
         num_tp = int(cfg.get("num_tp", 1) or 1)
         num_sp = int(cfg.get("num_sp", 1) or 1)
-        if num_tp > 1 and jax.process_count() > 1 and \
+        if num_tp * num_sp > 1 and jax.process_count() > 1 and \
                 len(jax.local_devices()) % (num_tp * num_sp):
             # the minor (sp, tp) mesh axes fold consecutive devices; when
             # their product divides the per-host device count every tp
@@ -177,6 +177,15 @@ class Trainer:
         """Opt-in G weight EMA (train.ema_decay, 0 = off). Eval/figures/FID
         then use the EMA twin (state.eval_g_params)."""
         return float(self.cfg.train.get("ema_decay", 0.0) or 0.0)
+
+    def _rescue_dir(self) -> Path:
+        """Run-stable preemption-rescue location: ``<output_root>/<name>/
+        ckpts_rescue`` — shared by every version of the experiment so a
+        requeue chain (each resolving a fresh version dir) always writes
+        and finds ONE newest rescue. Concurrent runs under the same
+        experiment name share it; the epoch arbitration in
+        ``select_resume`` keeps the newest state winning."""
+        return self.logging_dir.parent / "ckpts_rescue"
 
     def _accum_factor(self) -> int:
         node = self.cfg.get("accumulate_grad_batches", 1)
@@ -281,9 +290,14 @@ class Trainer:
                                    extra=self.task.initial_extra(),
                                    ema=self._ema_decay() > 0)
         ckpt_dir = self.cfg.train.get("ckpt_dir")
-        # best-FID checkpoint vs preemption rescue (ckpts_rescue/ sibling,
-        # written by the SIGTERM handler in fit): whichever is newer
-        resume_path = CheckpointManager.select_resume(ckpt_dir)
+        # best-FID checkpoint vs preemption rescue (run-stable
+        # <exp>/ckpts_rescue written by the SIGTERM handler in fit, plus
+        # the legacy <version>/ckpts_rescue sibling): whichever is newer.
+        # The current run's own rescue dir is always a candidate so a
+        # requeue chain keeps resuming from its newest rescue even when
+        # train.ckpt_dir points at the original run (ADVICE r3).
+        resume_path = CheckpointManager.select_resume(
+            ckpt_dir, extra_rescue_dirs=[self._rescue_dir()])
         if resume_path is not None:
             print(f"Resuming from {resume_path}")
             state, meta = self.ckpt.restore(resume_path,
@@ -436,16 +450,21 @@ class Trainer:
             if self._sync_preempted():
                 # the interrupted epoch counts as completed (its remaining
                 # batches are skipped on resume — same epoch-granular
-                # approximation as the LR-schedule horizons above)
-                rescue = CheckpointManager(
-                    self.logging_dir / "ckpts_rescue", save_ckpts=True)
+                # approximation as the LR-schedule horizons above).
+                # The rescue lands in the RUN-STABLE experiment-level dir
+                # (not this version's) so a requeue that resolves a new
+                # version keeps finding the newest rescue (ADVICE r3);
+                # save_best's retention garbage-collects the superseded one.
+                rescue = CheckpointManager(self._rescue_dir(),
+                                           save_ckpts=True)
                 rescue.save_best(pmesh.gather_tree(self.state),
                                  epoch=self.epoch, fid=None,
                                  meta={"rescue": True,
+                                       "version": self.version,
                                        "best_fid": self.best_fid})
                 print(f"[rescue] checkpointed epoch {self.epoch} "
                       f"(step {global_step}) to "
-                      f"{self.logging_dir / 'ckpts_rescue'}; exiting")
+                      f"{self._rescue_dir()}; exiting")
                 break
 
             if (self.epoch % int(self.cfg.val.get("every_n_epochs", 1)) == 0
@@ -524,6 +543,10 @@ class Trainer:
         if self.metrics_eval is not None:
             fid_kid = self.metrics_eval.compute(
                 eval_g_params, eval_g_state, rng)
+            # multi-host: the best-FID `improved` decision below gates a
+            # COLLECTIVE save path — make process 0's values authoritative
+            # so no cross-host FID divergence can desynchronise it
+            fid_kid = pmesh.broadcast_metrics(fid_kid)
             metrics.update(fid_kid)
             self.logger.log_scalars(fid_kid, global_step)
             print("  " + " ".join(f"{k}={v:.3f}" for k, v in fid_kid.items()))

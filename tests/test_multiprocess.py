@@ -488,8 +488,10 @@ def test_multi_process_preemption_rescue(tmp_path):
             "\n".join(lg.read_text(errors="replace")[-2000:] for lg in logs)
     run_dirs = list((tmp_path / "out" / "dc_gan").glob("version_*"))
     assert len(run_dirs) == 1
-    rescued = list((run_dirs[0] / "ckpts_rescue").glob("model_*"))
-    assert len(rescued) == 1, run_dirs[0]
+    # rescues land in the run-stable experiment-level dir (requeue-safe)
+    rescued = list(
+        (tmp_path / "out" / "dc_gan" / "ckpts_rescue").glob("model_*"))
+    assert len(rescued) == 1, list((tmp_path / "out" / "dc_gan").iterdir())
     meta = json.loads((rescued[0] / "train_meta.json").read_text())
     assert meta.get("rescue") is True
     for lg in logs:

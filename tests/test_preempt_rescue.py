@@ -73,7 +73,9 @@ def test_sigterm_rescue_and_resume(tmp_path):
     assert "[rescue] checkpointed epoch" in log.read_text()
 
     run_dir = out / "dc_gan" / "v0"
-    rescue = list((run_dir / "ckpts_rescue").glob("model_*"))
+    # the rescue lands in the RUN-STABLE experiment-level dir (shared by
+    # all versions) so a requeue chain always finds the newest rescue
+    rescue = list((out / "dc_gan" / "ckpts_rescue").glob("model_*"))
     assert len(rescue) == 1, rescue
     meta = json.loads((rescue[0] / "train_meta.json").read_text())
     assert meta.get("rescue") is True

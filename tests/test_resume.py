@@ -126,3 +126,43 @@ def test_select_resume_prefers_newest(tmp_path):
     assert CheckpointManager.select_resume(ckpts).name == "model_epoch-11"
     # no ckpt_dir at all
     assert CheckpointManager.select_resume(None) is None
+
+
+def test_select_resume_requeue_chain_finds_newest_rescue(tmp_path):
+    """ADVICE r3 livelock: an automated requeue re-runs the same command
+    (train.ckpt_dir → the ORIGINAL run's ckpts) while each resumed run
+    writes its rescue in a fresh version dir. With the run-stable
+    experiment-level rescue location + the widened scan, the chain keeps
+    resuming from the NEWEST rescue instead of the first one forever."""
+    import json
+
+    from lightning_gan_zoo_tpu.runtime.checkpoint import CheckpointManager
+
+    exp = tmp_path / "output" / "dc_gan"
+    v0 = exp / "version_0"
+    ckpts = v0 / "ckpts"
+    ckpts.mkdir(parents=True)
+
+    def put(root, name, epoch, **extra):
+        d = root / name
+        d.mkdir(parents=True, exist_ok=True)
+        (d / "train_meta.json").write_text(
+            json.dumps({"epoch": epoch, **extra}))
+        return d
+
+    best = put(ckpts, "model_best-12.34", 4)
+    # preemption 1: rescue at epoch 7 in the LEGACY per-version location
+    # (an old run's layout) — still honoured
+    old_rescue = put(v0 / "ckpts_rescue", "model_epoch-7", 7)
+    assert CheckpointManager.select_resume(ckpts) == old_rescue
+    # preemption 2: the resumed run (version_1) wrote its rescue to the
+    # run-stable experiment-level dir with a newer epoch — it must win
+    # even though train.ckpt_dir still points at version_0/ckpts
+    exp_rescue = put(exp / "ckpts_rescue", "model_epoch-9", 9)
+    assert CheckpointManager.select_resume(ckpts) == exp_rescue
+    # the Trainer additionally passes its own run-stable dir explicitly
+    assert CheckpointManager.select_resume(
+        ckpts, extra_rescue_dirs=[exp / "ckpts_rescue"]) == exp_rescue
+    # once training passes the rescue epoch, best wins again
+    (best / "train_meta.json").write_text(json.dumps({"epoch": 12}))
+    assert CheckpointManager.select_resume(ckpts) == best

@@ -77,11 +77,30 @@ def test_hologan_schedule_ramp():
     assert float(sched(20)) == 0.0         # epoch 10
 
 
-def test_find_ckpt_asserts_on_multiple(tmp_path):
-    (tmp_path / "model_best-1.00").mkdir()
-    (tmp_path / "model_best-2.00").mkdir()
-    with pytest.raises(AssertionError):
-        CheckpointManager.find_ckpt(tmp_path)
+def test_find_ckpt_arbitrates_multiple_by_epoch(tmp_path):
+    # Save-then-delete retention means a crash between the new commit and
+    # the old cleanup leaves two checkpoints; the newer epoch wins.
+    import json
+    a = tmp_path / "model_best-1.00"
+    b = tmp_path / "model_best-2.00"
+    a.mkdir()
+    b.mkdir()
+    (a / "train_meta.json").write_text(json.dumps({"epoch": 7}))
+    (b / "train_meta.json").write_text(json.dumps({"epoch": 3}))
+    assert CheckpointManager.find_ckpt(tmp_path) == a
+
+
+def test_find_ckpt_prefers_committed_meta_over_metaless(tmp_path):
+    # A crash after commit but before the meta write leaves the NEW dir
+    # without train_meta.json — resume must fall back to the old (complete)
+    # checkpoint, not the half-finalised new one.
+    import json
+    old = tmp_path / "model_best-5.00"
+    new = tmp_path / "model_best-4.00"
+    old.mkdir()
+    new.mkdir()
+    (old / "train_meta.json").write_text(json.dumps({"epoch": 2}))
+    assert CheckpointManager.find_ckpt(tmp_path) == old
 
 
 def test_find_ckpt_none_and_single(tmp_path):
@@ -128,6 +147,28 @@ def test_async_checkpoint_roundtrip_and_retention(tmp_path):
     np.testing.assert_array_equal(
         np.asarray(restored["b"], np.float32),
         np.asarray(state["b"], np.float32))
+
+
+def test_save_then_delete_keeps_old_best_until_new_commit_lands(tmp_path):
+    """Crash-safety ordering (ADVICE r3): the superseded best checkpoint may
+    only disappear AFTER the replacement is committed and its meta written —
+    a hard kill mid-save must always leave one restorable checkpoint."""
+    mgr = CheckpointManager(tmp_path, save_ckpts=True, async_save=True)
+    state = {"w": jnp.ones((2,))}
+    mgr.save_best(state, epoch=0, fid=12.35)
+    mgr.finalize()
+    assert (tmp_path / "model_best-12.35").exists()
+    # second save returns pre-commit: the old best must still be on disk
+    mgr.save_best(state, epoch=1, fid=8.1)
+    assert (tmp_path / "model_best-12.35").exists(), \
+        "old best deleted before the new commit landed"
+    # even with both present (the crash window), resume picks the newer epoch
+    # once meta exists, or the committed one while the new meta is pending
+    found_mid = CheckpointManager.find_ckpt(tmp_path)
+    assert found_mid is not None
+    mgr.finalize()
+    assert not (tmp_path / "model_best-12.35").exists()
+    assert (tmp_path / "model_best-8.10").exists()
 
 
 def test_compose_unknown_group_choice_error():
