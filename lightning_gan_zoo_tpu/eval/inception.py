@@ -306,12 +306,26 @@ def load_torch_weights(path: str | Path):
     return model, variables
 
 
+#: Zero-config drop-in location for the FID weights: a file here (put
+#: there by tools/fetch_inception_weights.py, or copied by hand) calibrates
+#: FID automatically with `val.inception_weights_path` unset.
+DEFAULT_WEIGHTS_PATH = (
+    Path.home() / ".cache" / "lightning_gan_zoo_tpu"
+    / "pt_inception-2015-12-05-6726825d.pth")
+
+
 def build(weights_path: Optional[str] = None):
-    """(model, variables, calibrated) — tries the weights file, falls back
-    to random init with ``calibrated=False`` so callers can rename metrics
+    """(model, variables, calibrated) — tries the configured weights file
+    (falling back to :data:`DEFAULT_WEIGHTS_PATH` when unset), else random
+    init with ``calibrated=False`` so callers can rename metrics
     (fid → fid_uncalibrated) and skip best-FID checkpoint naming."""
     if weights_path and Path(weights_path).exists():
         model, variables = load_torch_weights(weights_path)
+        return model, variables, True
+    if not weights_path and DEFAULT_WEIGHTS_PATH.exists():
+        model, variables = load_torch_weights(DEFAULT_WEIGHTS_PATH)
+        print(f"[fid] using inception weights from the drop-in cache "
+              f"{DEFAULT_WEIGHTS_PATH}")
         return model, variables, True
     if weights_path:
         print(f"[fid] WARNING: inception weights not found at "
@@ -319,7 +333,8 @@ def build(weights_path: Optional[str] = None):
               "self-consistent but not comparable to published numbers")
     else:
         print("[fid] WARNING: no inception weights configured; using random "
-              "init — set val.inception_weights_path to the "
-              "pt_inception-2015-12-05 checkpoint for reference parity")
+              "init — run tools/fetch_inception_weights.py (egress needed) "
+              f"or drop pt_inception-2015-12-05 at {DEFAULT_WEIGHTS_PATH} "
+              "for reference parity")
     model, variables = init_random()
     return model, variables, False

@@ -232,6 +232,59 @@ def test_metrics_calibrated_with_weights_file(tmp_path):
     assert "fid" in out and "kid" in out
 
 
+def test_converted_model_frechet_matches_reference_formula(tmp_path):
+    """On a CONVERTED model (torch state dict → flax), push two fixed image
+    sets through pool3, then assert our jitted Newton–Schulz
+    frechet_distance agrees numerically with the reference formula
+    (gan_stability fid_score.py:25-80: scipy sqrtm of sigma1·sigma2, real
+    part, trace identity) computed from the same activations."""
+    import torch
+    from lightning_gan_zoo_tpu.eval import inception as inc
+
+    _, variables = inc.init_random(jax.random.PRNGKey(3))
+    path = tmp_path / "pt_inception.pth"
+    torch.save(_export_torch_state(variables), path)
+    model, vars2 = inc.load_torch_weights(path)
+
+    rng = np.random.default_rng(7)
+    a = jnp.asarray(rng.uniform(0, 1, (12, 32, 32, 3)), jnp.float32)
+    b = jnp.asarray(rng.uniform(0, 1, (12, 32, 32, 3)) ** 2, jnp.float32)
+    act_a = np.asarray(model.apply(vars2, a), np.float64)
+    act_b = np.asarray(model.apply(vars2, b), np.float64)
+
+    mu_a, s_a = act_a.mean(0), np.cov(act_a, rowvar=False)
+    mu_b, s_b = act_b.mean(0), np.cov(act_b, rowvar=False)
+    want = float(F.frechet_distance_np(mu_a, s_a, mu_b, s_b))
+
+    mu_a_j, s_a_j = F.stats_from_activations(jnp.asarray(act_a, jnp.float32))
+    mu_b_j, s_b_j = F.stats_from_activations(jnp.asarray(act_b, jnp.float32))
+    got = float(F.frechet_distance(mu_a_j, s_a_j, mu_b_j, s_b_j))
+    assert got == pytest.approx(want, rel=2e-2, abs=1e-3)
+
+
+def test_default_weights_path_drop_in(tmp_path, monkeypatch):
+    """Zero-config calibration: a weights file at DEFAULT_WEIGHTS_PATH is
+    picked up by build(None) with no val.inception_weights_path set."""
+    import torch
+    from lightning_gan_zoo_tpu.eval import inception as inc
+
+    _, variables = inc.init_random(jax.random.PRNGKey(3))
+    drop_in = tmp_path / "cache" / "pt_inception.pth"
+    drop_in.parent.mkdir(parents=True)
+    torch.save(_export_torch_state(variables), drop_in)
+    monkeypatch.setattr(inc, "DEFAULT_WEIGHTS_PATH", drop_in)
+    _, _, calibrated = inc.build(None)
+    assert calibrated
+    # explicit path still wins over the drop-in
+    _, _, calibrated2 = inc.build(str(drop_in))
+    assert calibrated2
+    # and a missing drop-in still degrades gracefully to uncalibrated
+    monkeypatch.setattr(inc, "DEFAULT_WEIGHTS_PATH",
+                        tmp_path / "nope" / "missing.pth")
+    _, _, calibrated3 = inc.build(None)
+    assert not calibrated3
+
+
 def test_dump_fid_samples_writes_pngs(tmp_path):
     """val.dump_fid_samples=true writes the generated samples as PNGs under
     <logging_dir>/test_samples/ (reference parity, opt-in here)."""
