@@ -221,10 +221,25 @@ class InceptionV3FID(nn.Module):
 # ---------------------------------------------------------------------------
 
 def init_random(rng: Optional[jax.Array] = None):
-    """Deterministic random variables (pipeline testing without weights)."""
+    """Deterministic random variables (pipeline testing without weights).
+
+    Conv kernels are He-rescaled (×√2 over the flax LeCun-normal default):
+    with ~94 stacked conv+ReLU layers and identity batch-stats, LeCun init
+    decays activation variance by ~2^-94 — pool3 features come out ≈ dead
+    (std ~4e-4) and the *uncalibrated* FID collapses into f32 noise
+    (measured: real-vs-real 1e-7 vs noise-vs-real 2e-5). He scaling keeps
+    features O(1) so the fallback metric has usable dynamic range; the
+    calibrated path (real weights) is untouched."""
     model = InceptionV3FID()
     rng = rng if rng is not None else jax.random.PRNGKey(0)
     variables = model.init(rng, jnp.zeros((1, 32, 32, 3)))
+
+    def _he(path, leaf):
+        if leaf.ndim == 4 and path[-1].key == "kernel":
+            return leaf * np.sqrt(2.0, dtype=np.float32)
+        return leaf
+    params = jax.tree_util.tree_map_with_path(_he, variables["params"])
+    variables = dict(variables, params=params)
     return model, variables
 
 
