@@ -2,8 +2,10 @@
 turntable (reference core/figures/types.py:361-503).
 
 The mesh row of FullShapeAnalysis renders with the JAX rasterizer
-(nerf/rasterize.py — hard Lambertian standing in for pytorch3d's
-SoftPhongShader; documented deviation). Both figures load a fixed batch of
+(nerf/rasterize.render_mesh_phong — interpolated vertex normals +
+point-light Phong matching the reference's SoftPhongShader class; the
+remaining deviation is hard vs sigma-blended coverage, an anti-aliasing
+nicety). Both figures load a fixed batch of
 val images + shape analyses once, as the reference does in __init__
 (:370-374, :455-459), but lazily so a missing dataset fails at draw time
 with a clear message instead of at trainer construction.
@@ -68,18 +70,19 @@ class FullShapeAnalysis(Figure, _ShapeAnalysisFigure):
         self.n_objs = int(n_objs)
 
     def draw(self, ctx):
-        from ..nerf.rasterize import render_mesh_lambert
+        from ..nerf.rasterize import render_mesh_phong
         batch = self._load_batch(ctx, self.n_objs)
         sa = batch["shape_analysis"]
         img_size = int(self.details["img_size"])
 
         cameras, scale = convert_cam_pred(jnp.asarray(sa["cam_pred"]))
-        # mesh render of the scaled analysis verts (types.py:390-409)
+        # mesh render of the scaled analysis verts (types.py:390-409):
+        # Phong shading + the reference's point light at (0,0,-3)
         verts = jnp.asarray(sa["verts"]) * scale[:, None, None]
         faces = jnp.asarray(sa["faces"][0] if sa["faces"].ndim == 3
                             else sa["faces"]).astype(jnp.int32)
-        rendered = np.asarray(render_mesh_lambert(verts, faces, cameras,
-                                                  img_size))
+        rendered = np.asarray(render_mesh_phong(verts, faces, cameras,
+                                                img_size))
 
         # silhouette row: mask → 3ch at img_size (types.py:412-415)
         mask = sa["mask_pred"]

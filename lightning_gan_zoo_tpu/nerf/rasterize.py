@@ -1,11 +1,19 @@
-"""Minimal JAX mesh rasterizer (orthographic, Lambertian).
+"""Minimal JAX mesh rasterizer (orthographic): Phong and Lambert shading.
 
 Replaces the pytorch3d MeshRenderer+SoftPhongShader used ONLY by the
-FullShapeAnalysis figure (reference core/figures/types.py:397-409) — a
-qualitative diagnostic render, so a hard-rasterized Lambertian shade stands
-in for soft Phong (documented deviation). Brute-force barycentric coverage,
-scanned over face chunks to bound memory; z-buffering via per-pixel min
-depth. Runs fine on TPU or CPU for figure-sized meshes.
+FullShapeAnalysis figure (reference core/figures/types.py:397-409).
+``render_mesh_phong`` matches the reference's shading class: per-vertex
+normals interpolated barycentrically per pixel, point light at the
+reference's location (types.py:381-383), pytorch3d default light/material
+coefficients (ambient 0.5 / diffuse 0.3 / specular 0.2, shininess 64),
+white background. Remaining documented deviation: hard z-buffered coverage
+instead of pytorch3d's sigma-blended SOFT rasterization (an anti-aliasing
+refinement, not a shading-class difference). ``render_mesh_lambert`` is the
+cheaper flat-shaded variant kept for smoke tests.
+
+Brute-force barycentric coverage, scanned over face chunks to bound memory;
+z-buffering via per-pixel min depth. Runs fine on TPU or CPU for
+figure-sized meshes.
 """
 from __future__ import annotations
 
@@ -93,3 +101,106 @@ def render_mesh_lambert(verts: jax.Array, faces: jax.Array,
         return jnp.repeat(img.reshape(s, s, 1), 3, axis=-1)
 
     return jax.vmap(render_one)(v2d, zs, vview)
+
+
+def _vertex_normals(vview: jax.Array, faces: jax.Array) -> jax.Array:
+    """Area-weighted per-vertex normals in view space. (V, 3) per batch."""
+    e0 = vview[faces[:, 1]] - vview[faces[:, 0]]
+    e1 = vview[faces[:, 2]] - vview[faces[:, 0]]
+    fn = jnp.cross(e0, e1)                         # unnormalised = area-weighted
+    vn = jnp.zeros_like(vview)
+    for k in range(3):
+        vn = vn.at[faces[:, k]].add(fn)
+    return vn / jnp.maximum(jnp.linalg.norm(vn, axis=-1, keepdims=True), 1e-9)
+
+
+def render_mesh_phong(verts: jax.Array, faces: jax.Array,
+                      cameras: OrthographicCameras, img_size: int,
+                      light_location=(0.0, 0.0, -3.0),
+                      ambient: float = 0.5, diffuse: float = 0.3,
+                      specular: float = 0.2, shininess: float = 64.0,
+                      face_chunk: int = 512) -> jax.Array:
+    """Phong-shaded render matching the reference figure's shader class
+    (SoftPhongShader + PointLights(location=[[0,0,-3]]), types.py:381-409):
+    smooth barycentric-interpolated vertex normals, point-light diffuse +
+    specular with pytorch3d's default coefficients. Two-sided normals (the
+    analysis meshes carry no guaranteed winding). verts: (B, V, 3) world;
+    faces: (F, 3) int32 → (B, S, S, 3) in [0, 1], white background."""
+    b = verts.shape[0]
+    s = img_size
+    vview = jnp.einsum("bvj,bjk->bvk", verts.astype(jnp.float32),
+                       cameras.R) + cameras.T[:, None]
+    xs = (1.0 - vview[..., 0]) * 0.5 * (s - 1)
+    ys = (1.0 - vview[..., 1]) * 0.5 * (s - 1)
+    zs = vview[..., 2]
+    v2d = jnp.stack([xs, ys], axis=-1)                    # (B, V, 2)
+    vnorm = jax.vmap(_vertex_normals, in_axes=(0, None))(vview, faces)
+
+    px, py = jnp.meshgrid(jnp.arange(s, dtype=jnp.float32),
+                          jnp.arange(s, dtype=jnp.float32), indexing="xy")
+    pix = jnp.stack([px.reshape(-1), py.reshape(-1)], axis=-1)  # (S², 2)
+
+    light_pos = jnp.asarray(light_location, jnp.float32)
+    view_dir = jnp.asarray([0.0, 0.0, -1.0], jnp.float32)  # orthographic
+
+    n_faces = faces.shape[0]
+    pad = (-n_faces) % face_chunk
+    faces_p = jnp.concatenate(
+        [faces, jnp.zeros((pad, 3), faces.dtype)], axis=0) if pad else faces
+    valid = jnp.concatenate(
+        [jnp.ones((n_faces,), bool), jnp.zeros((pad,), bool)]) if pad else \
+        jnp.ones((n_faces,), bool)
+    faces_c = faces_p.reshape(-1, face_chunk, 3)
+    valid_c = valid.reshape(-1, face_chunk)
+
+    def render_one(v2d_b, zs_b, vview_b, vn_b):
+        def body(carry, fc):
+            zbuf, shade = carry
+            f, ok = fc
+            tri = v2d_b[f]                                # (C, 3, 2)
+            tz = zs_b[f]                                  # (C, 3)
+            a, bb, c = tri[:, 0], tri[:, 1], tri[:, 2]
+            v0 = bb - a
+            v1 = c - a
+            den = v0[:, 0] * v1[:, 1] - v1[:, 0] * v0[:, 1]
+            den = jnp.where(jnp.abs(den) < 1e-9, 1e-9, den)
+            p = pix[None] - a[:, None]                    # (C, S², 2)
+            w1 = (p[..., 0] * v1[:, None, 1]
+                  - v1[:, None, 0] * p[..., 1]) / den[:, None]
+            w2 = (v0[:, None, 0] * p[..., 1]
+                  - p[..., 0] * v0[:, None, 1]) / den[:, None]
+            w0 = 1.0 - w1 - w2
+            inside = (w0 >= 0) & (w1 >= 0) & (w2 >= 0) & ok[:, None]
+            depth = (w0 * tz[:, 0, None] + w1 * tz[:, 1, None]
+                     + w2 * tz[:, 2, None])
+            depth = jnp.where(inside, depth, jnp.inf)
+            # barycentric-interpolated position + normal per pixel
+            w = jnp.stack([w0, w1, w2], axis=-1)          # (C, S², 3)
+            pos = jnp.einsum("cpk,ckj->cpj", w, vview_b[f])
+            nrm = jnp.einsum("cpk,ckj->cpj", w, vn_b[f])
+            nrm = nrm / jnp.maximum(
+                jnp.linalg.norm(nrm, axis=-1, keepdims=True), 1e-9)
+            ldir = light_pos[None, None] - pos
+            ldir = ldir / jnp.maximum(
+                jnp.linalg.norm(ldir, axis=-1, keepdims=True), 1e-9)
+            ndl = jnp.abs(jnp.sum(nrm * ldir, axis=-1))   # two-sided
+            refl = 2.0 * jnp.sum(nrm * ldir, axis=-1,
+                                 keepdims=True) * nrm - ldir
+            spec = jnp.maximum(jnp.sum(refl * view_dir, axis=-1), 0.0)
+            pix_shade = jnp.clip(
+                ambient + diffuse * ndl + specular * spec ** shininess,
+                0.0, 1.0)                                 # (C, S²)
+            best = jnp.argmin(depth, axis=0)              # (S²,)
+            best_depth = jnp.take_along_axis(depth, best[None], 0)[0]
+            best_shade = jnp.take_along_axis(pix_shade, best[None], 0)[0]
+            closer = best_depth < zbuf
+            return (jnp.where(closer, best_depth, zbuf),
+                    jnp.where(closer, best_shade, shade)), None
+
+        init = (jnp.full((s * s,), jnp.inf),
+                jnp.zeros((s * s,)))
+        (zbuf, shade), _ = jax.lax.scan(body, init, (faces_c, valid_c))
+        img = jnp.where(jnp.isfinite(zbuf), shade, 1.0)   # white background
+        return jnp.repeat(img.reshape(s, s, 1), 3, axis=-1)
+
+    return jax.vmap(render_one)(v2d, zs, vview, vnorm)

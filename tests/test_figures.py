@@ -79,6 +79,51 @@ def test_rasterizer_renders_triangle():
     assert img[0, :, :, 0].min() > 0.2   # ambient floor
 
 
+def test_phong_rasterizer_smooth_shading_and_specular():
+    """render_mesh_phong: an icosphere-ish faceted ball must shade SMOOTHLY
+    (interpolated vertex normals → many distinct shade levels across a
+    face, unlike flat Lambert's one shade per face) and show a specular
+    highlight (max shade above the ambient+diffuse ceiling)."""
+    from lightning_gan_zoo_tpu.nerf.cameras import look_at_view_transform
+    from lightning_gan_zoo_tpu.nerf.rasterize import (render_mesh_lambert,
+                                                      render_mesh_phong)
+
+    # UV sphere (coarse: 8x8) centred at origin, radius 0.7
+    nu, nv = 8, 8
+    th = np.linspace(0, np.pi, nv + 1)
+    ph = np.linspace(0, 2 * np.pi, nu, endpoint=False)
+    vs, fs = [], []
+    for t in th:
+        for p in ph:
+            vs.append([np.sin(t) * np.cos(p), np.cos(t),
+                       np.sin(t) * np.sin(p)])
+    for i in range(nv):
+        for j in range(nu):
+            a = i * nu + j
+            b = i * nu + (j + 1) % nu
+            c = (i + 1) * nu + j
+            d = (i + 1) * nu + (j + 1) % nu
+            fs += [[a, b, c], [b, d, c]]
+    verts = jnp.asarray(np.asarray(vs, np.float32)[None] * 0.7)
+    faces = jnp.asarray(np.asarray(fs, np.int32))
+    cams = look_at_view_transform(2.0, 10.0, 20.0)
+
+    phong = np.asarray(render_mesh_phong(verts, faces, cams, 48))
+    flat = np.asarray(render_mesh_lambert(verts, faces, cams, 48))
+    assert phong.shape == (1, 48, 48, 3)
+    cov_p = phong[0, :, :, 0] < 0.999
+    cov_f = flat[0, :, :, 0] < 0.999
+    assert cov_p.sum() > 100 and cov_f.sum() > 100
+    # smooth shading: far more distinct levels than faces-facing-ways
+    lv_p = len(np.unique(np.round(phong[0, cov_p, 0], 3)))
+    lv_f = len(np.unique(np.round(flat[0, cov_f, 0], 3)))
+    assert lv_p > 2 * lv_f, (lv_p, lv_f)
+    # specular highlight: the lit pole exceeds ambient+diffuse alone
+    assert phong[0, cov_p, 0].max() > 0.5 + 0.3 + 0.05
+    # background stays white
+    assert phong[0, 0, 0, 0] == 1.0
+
+
 def test_anigan_figures_draw(tmp_path):
     """FullShapeAnalysis + AniganTurntable end-to-end with synthetic npz
     shape analyses on disk."""
