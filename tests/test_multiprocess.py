@@ -183,6 +183,54 @@ WORKER = textwrap.dedent("""
 """)
 
 
+WORKER_SP = textwrap.dedent("""
+    import os, sys
+    sys.path.insert(0, os.environ["LGZT_REPO"])
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    NPROC = int(os.environ["LGZT_NPROC"])
+    jax.distributed.initialize(
+        coordinator_address=os.environ["LGZT_COORD"],
+        num_processes=NPROC, process_id=int(os.environ["LGZT_PID"]))
+    import numpy as np
+    from lightning_gan_zoo_tpu.parallel import mesh as pmesh
+    from lightning_gan_zoo_tpu.parallel.family_runs import (
+        build_family, make_family_batches)
+    from lightning_gan_zoo_tpu.runtime.state import create_train_state
+    from lightning_gan_zoo_tpu.runtime.steps import build_superstep
+    from jax._src import distributed as _dist
+    _dist.global_state.client.wait_at_barrier("lgzt_sp", 300_000)
+
+    # pigan on a (data=4 x sp=2) mesh ACROSS processes: each process owns
+    # 4 devices = 2 data rows x their sp pair (host-local sp groups); the
+    # renderer partitions each image's rays over 'sp' while the batch
+    # stripes over processes like production (EpochLoader contract)
+    BATCH = 4
+    mesh = pmesh.make_mesh(8, sp=2)
+    cfg, task = build_family(os.environ["LGZT_REPO"] + "/conf", "pigan",
+                             BATCH, num_devices=8)
+    d_tx, g_tx = task.configure_optimizers(steps_per_epoch=4)
+    g_vars, d_vars = task.init(jax.random.PRNGKey(0))
+    state = pmesh.put_state(
+        create_train_state(g_vars, d_vars, g_tx, d_tx,
+                           extra=task.initial_extra()), mesh)
+    step = pmesh.shard_superstep(
+        build_superstep(task, g_tx, d_tx,
+                        int(cfg.optimisation.disc_freq),
+                        int(cfg.optimisation.gen_freq)),
+        mesh, donate_state=False)
+    full = make_family_batches(cfg, "pigan", BATCH, seed=0)
+    pid = jax.process_index()
+    per = BATCH // NPROC
+    local = jax.tree.map(
+        lambda x: np.asarray(x)[:, pid * per:(pid + 1) * per], full)
+    batch = pmesh.put_batch(local, mesh)
+    _, m = step(state, batch, jax.random.PRNGKey(1))
+    print(f"MPSP {float(m['d_loss']):.6f} {float(m['g_loss']):.6f}",
+          flush=True)
+""")
+
+
 WORKER_TRAINER = textwrap.dedent("""
     import os, sys
     sys.path.insert(0, os.environ["LGZT_REPO"])
@@ -418,6 +466,56 @@ def test_multi_process_data_parallel(tmp_path, nproc):
     np.testing.assert_allclose(
         losses[0], [float(metrics["d_loss"]), float(metrics["g_loss"])],
         rtol=2e-4)
+
+
+@pytest.mark.slow
+def test_multi_process_sp_matches_single_process(tmp_path):
+    """Ray sharding across PROCESS boundaries: a 2-process (data=4 x sp=2)
+    pigan superstep on per-process batch stripes must reproduce the
+    single-process dp x sp run of the same global batch to reduction-order
+    tolerance (VERDICT r3 item 7). Both processes must agree exactly."""
+    nproc = 2
+    port = socket.socket()
+    port.bind(("localhost", 0))
+    coord = f"localhost:{port.getsockname()[1]}"
+    port.close()
+
+    worker_py = tmp_path / "worker_sp.py"
+    worker_py.write_text(WORKER_SP)
+    procs = []
+    for pid in range(nproc):
+        env = dict(os.environ)
+        env.pop("PALLAS_AXON_POOL_IPS", None)
+        env["JAX_PLATFORMS"] = "cpu"
+        env["XLA_FLAGS"] = (
+            f"--xla_force_host_platform_device_count={8 // nproc}")
+        env["LGZT_COORD"] = coord
+        env["LGZT_NPROC"] = str(nproc)
+        env["LGZT_PID"] = str(pid)
+        env["LGZT_REPO"] = str(REPO_ROOT)
+        env.setdefault("JAX_COMPILATION_CACHE_DIR",
+                       os.path.expanduser("~/.cache/jax"))
+        procs.append(subprocess.Popen(
+            [sys.executable, str(worker_py)], env=env,
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True))
+    outs = [p.communicate(timeout=900) for p in procs]
+    for p, (out, err) in zip(procs, outs):
+        assert p.returncode == 0, f"worker failed:\n{out}\n{err[-3000:]}"
+    sp_rows = [[float(v) for v in ln.split()[1:]]
+               for out, _ in outs for ln in out.splitlines()
+               if ln.startswith("MPSP")]
+    assert len(sp_rows) == nproc
+    np.testing.assert_allclose(sp_rows[0], sp_rows[1], rtol=1e-5)
+
+    # single-process dp x sp reference on this process's own 8-device mesh
+    from tests.conftest import CONF_DIR
+    from lightning_gan_zoo_tpu.parallel import mesh as pmesh
+    from lightning_gan_zoo_tpu.parallel.family_runs import \
+        run_family_superstep
+    mesh = pmesh.make_mesh(8, sp=2)
+    _, ref = run_family_superstep(str(CONF_DIR), "pigan", mesh, batch=4)
+    np.testing.assert_allclose(
+        sp_rows[0], [float(ref["d_loss"]), float(ref["g_loss"])], rtol=2e-4)
 
 
 @pytest.mark.slow
