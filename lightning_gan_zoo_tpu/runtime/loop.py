@@ -574,21 +574,36 @@ class Trainer:
                 self.logger.log_image(f"figures/{type(fig).__name__}",
                                       np.asarray(frame), global_step)
 
-        # checkpoint (best-FID policy; an uncalibrated FID never names a
-        # checkpoint — without calibrated FID keep latest)
+        # checkpoint (best-FID policy). Without the calibration weights the
+        # SELECTION still runs on fid_uncalibrated — self-consistent within
+        # a run and strictly better than keep-latest (it was keep-latest
+        # until round 4; the He-scaled random-init features gave the
+        # uncalibrated metric usable dynamic range) — but an uncalibrated
+        # value never NAMES a checkpoint (save_best falls back to
+        # model_epoch-N), so a calibrated-looking fid in a checkpoint name
+        # always means real weights were present. No metric at all
+        # (calc_fid=false) keeps latest, like the reference with
+        # checkpointing on and monitoring off.
         fid = metrics.get("fid")
-        improved = fid is None or fid < self.best_fid
-        if fid is not None and fid < self.best_fid:
-            self.best_fid = fid
+        fid_sel = fid if fid is not None else metrics.get("fid_uncalibrated")
+        improved = fid_sel is None or fid_sel < self.best_fid
+        if fid_sel is not None and fid_sel < self.best_fid:
+            self.best_fid = fid_sel
         if improved and self.ckpt.save_ckpts:
             # async mode hands orbax the live arrays (it snapshots them off
             # the device before returning; the commit overlaps training);
             # the save_ckpts guard keeps the full-state host gather from
             # running just to be discarded by save_best's no-op path
+            # best_fid in meta keeps the (possibly uncalibrated) selection
+            # threshold across a resume; `fid` stays None when uncalibrated
+            # so the checkpoint NAME never implies calibration
             self.ckpt.save_best(
                 self.state if self.ckpt.async_save
                 else pmesh.gather_tree(self.state),
-                epoch=self.epoch, fid=fid)
+                epoch=self.epoch, fid=fid,
+                meta={"best_fid": (self.best_fid
+                                   if self.best_fid != float("inf")
+                                   else None)})
         return metrics
 
 

@@ -171,6 +171,42 @@ def test_save_then_delete_keeps_old_best_until_new_commit_lands(tmp_path):
     assert (tmp_path / "model_best-8.10").exists()
 
 
+def test_best_selection_runs_on_uncalibrated_fid(tmp_path):
+    """Without calibration weights, checkpoint SELECTION must still keep
+    the best-by-fid_uncalibrated epoch (not the latest), while checkpoint
+    NAMES never carry an uncalibrated value (model_epoch-N)."""
+    cfg = compose(CONF_DIR, ["+expt=dc_gan", "dataset=synthetic",
+                             "train.img_size=16", "train.features_gen=8",
+                             "train.features_disc=8", "model.noise_dim=16",
+                             "train.batch_size=4", "dataset.n=16",
+                             "calc_fid=False", "save_ckpts=True",
+                             "precision=32", "figure_details.fid_callback=False",
+                             "~figures",
+                             f"output_root={tmp_path}", "version=t"])
+    tr = Trainer(cfg)
+    tr._init_state(steps_per_epoch=1)
+
+    class _Stub:
+        def __init__(self):
+            self.vals = iter([50.0, 20.0, 35.0])
+
+        def compute(self, g_params, g_state, rng):
+            return {"fid_uncalibrated": next(self.vals)}
+    tr.metrics_eval = _Stub()
+
+    for epoch in range(3):
+        tr.epoch = epoch
+        tr.validate(global_step=epoch)
+    ckpts = list((tr.logging_dir / "ckpts").glob("model_*"))
+    assert len(ckpts) == 1
+    assert ckpts[0].name == "model_epoch-1"       # the fid=20 epoch won
+    import json as _json
+    meta = _json.loads((ckpts[0] / "train_meta.json").read_text())
+    assert meta["epoch"] == 1 and meta["fid"] is None
+    assert meta["best_fid"] == 20.0               # selection threshold kept
+    assert tr.best_fid == 20.0
+
+
 def test_compose_unknown_group_choice_error():
     with pytest.raises(ComposeError):
         compose(CONF_DIR, ["dataset=not_a_dataset"])

@@ -41,4 +41,10 @@ run r1_fused 1200 env BENCH_EXPT=gan_stability_r1 \
 # batch_partitioned gate (pigan exercises siren_trunk, hologan trilinear
 # already covered above)
 run pigan_sanity 900 env BENCH_EXPT=pigan BENCH_BATCH=32 python bench.py
+
+# stage 4: the full driver scoreboard (all 7 families + fid_eval row with
+# device_ms/mfu) — the BENCH_r04 content. Generous timeout: folded
+# megastep cold compiles through the tunnel run 5-15 min per family.
+run scoreboard 7200 python bench.py
+run fid_eval   1800 env BENCH_FID=1 python bench.py
 echo "hw_session done; full log: $LOG"
