@@ -7,9 +7,11 @@ run the pip FID InceptionV3 over the fake dir and the real dir (with an
 
 TPU-native redesign: NO disk round-trip — fakes stream straight from the
 generator into the jitted Inception pool3 extractor in batches; real
-activations come from the dataset reader once and are cached as
-``inception_cache.npz`` next to the dataset (same cache filename contract,
-:155-159). Greyscale → RGB tiling and [0,1] clamping match :194-199.
+activations come from the dataset reader once and are cached next to the
+dataset (the reference's ``inception_cache.npz`` contract, :155-159 —
+DEVIATION: our filename is keyed by img_size/count/calibration because we
+resize reals to train.img_size first, see ``_cache_path``). Greyscale →
+RGB tiling and [0,1] clamping match :194-199.
 """
 from __future__ import annotations
 
@@ -113,10 +115,22 @@ class InceptionMetrics:
 
     # -- real side --------------------------------------------------------------
     def _cache_path(self) -> Optional[Path]:
+        """Real-activation cache keyed by everything that changes the
+        activations: image size (reals are resized to train.img_size before
+        inception — the reference reads its real dir at native size, so its
+        single per-dir cache is resolution-independent; ours is not),
+        sample count/full-dir mode, and calibration (random-init vs real
+        weights produce unrelated features). An unkeyed cache silently
+        poisoned cross-resolution runs in round 4."""
         root = self.cfg.dataset.get("root")
         if not root:
             return None
-        return Path(str(root)) / "inception_cache.npz"
+        img = int(self.cfg.train.img_size)
+        count = ("full" if bool(self.cfg.val.get("fid_real_full", False))
+                 else f"n{self.n_samples}")
+        cal = "cal" if self.calibrated else "rnd"
+        return Path(str(root)) / \
+            f"inception_cache_{img}px_{count}_{cal}.npz"
 
     def _real_activations(self) -> np.ndarray:
         if self._real_acts is not None:

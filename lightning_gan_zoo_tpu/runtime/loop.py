@@ -574,21 +574,21 @@ class Trainer:
                 self.logger.log_image(f"figures/{type(fig).__name__}",
                                       np.asarray(frame), global_step)
 
-        # checkpoint (best-FID policy). Without the calibration weights the
-        # SELECTION still runs on fid_uncalibrated — self-consistent within
-        # a run and strictly better than keep-latest (it was keep-latest
-        # until round 4; the He-scaled random-init features gave the
-        # uncalibrated metric usable dynamic range) — but an uncalibrated
-        # value never NAMES a checkpoint (save_best falls back to
-        # model_epoch-N), so a calibrated-looking fid in a checkpoint name
-        # always means real weights were present. No metric at all
-        # (calc_fid=false) keeps latest, like the reference with
-        # checkpointing on and monitoring off.
+        # checkpoint (best-FID policy; an uncalibrated FID never names a
+        # checkpoint — without calibrated FID keep latest).
+        # Round-4 record: selecting on fid_uncalibrated was tried and
+        # REVERTED. The trial run's trajectory moved inversely to visible
+        # sample quality; root-causing that exposed the unkeyed real-acts
+        # cache (metrics_callback._cache_path) mixing resolutions, and
+        # even with the cache fixed, random-feature FID ranks low-level
+        # contrast statistics above semantics, so "lower = better" is
+        # data-dependent — an unsafe basis for discarding checkpoints.
+        # Keep-latest is the reference's behaviour with monitoring off;
+        # calibrated weights restore true best-FID selection.
         fid = metrics.get("fid")
-        fid_sel = fid if fid is not None else metrics.get("fid_uncalibrated")
-        improved = fid_sel is None or fid_sel < self.best_fid
-        if fid_sel is not None and fid_sel < self.best_fid:
-            self.best_fid = fid_sel
+        improved = fid is None or fid < self.best_fid
+        if fid is not None and fid < self.best_fid:
+            self.best_fid = fid
         if improved and self.ckpt.save_ckpts:
             # async mode hands orbax the live arrays (it snapshots them off
             # the device before returning; the commit overlaps training);

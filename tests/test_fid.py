@@ -87,8 +87,23 @@ def test_inception_metrics_end_to_end(tmp_path):
     assert np.isfinite(out["fid_uncalibrated"]) and \
         out["fid_uncalibrated"] >= 0
     assert np.isfinite(out["kid_uncalibrated"])
-    # real-side cache written next to the dataset root
-    assert (tmp_path / "inception_cache.npz").exists()
+    # real-side cache written next to the dataset root, keyed by the
+    # inputs that change activations (img_size / count / calibration) —
+    # an unkeyed cache poisoned cross-resolution runs in round 4
+    caches = list(tmp_path.glob("inception_cache_*px_*_rnd.npz"))
+    assert len(caches) == 1, list(tmp_path.iterdir())
+    # same config -> same cache key; a DIFFERENT resolution must miss it
+    from lightning_gan_zoo_tpu.config import compose as _compose
+    from tests.conftest import CONF_DIR as _CD
+    assert InceptionMetrics(cfg, task,
+                            batch_size=4)._cache_path() == caches[0]
+    cfg32 = _compose(_CD, [
+        "+expt=dc_gan", "dataset=synthetic", "train.img_size=32",
+        "train.batch_size=4", "train.features_disc=8",
+        "train.features_gen=8", "model.noise_dim=16", "precision=32",
+        "val.fid_n_samples=8", f"dataset.root={tmp_path}", "dataset.n=16"])
+    assert InceptionMetrics(cfg32, task,
+                            batch_size=4)._cache_path() != caches[0]
 
 
 def _export_torch_state(variables):

@@ -122,6 +122,14 @@ WORKER = textwrap.dedent("""
     assert f1 is True and f0 is False
     print(f"MPFLAG {int(f1)} {int(f0)}", flush=True)
 
+    # broadcast_metrics: DIVERGENT locally-computed metrics (simulated
+    # cross-host FID drift) must come back as process 0's values on every
+    # process — the guard that keeps the best-FID `improved` decision from
+    # desynchronising the collective save path
+    bm = pmesh.broadcast_metrics({"fid": 1.0 + 0.125 * pid,
+                                  "kid": 2.0 - 0.25 * pid})
+    print(f"MPBCAST {bm['fid']:.6f} {bm['kid']:.6f}", flush=True)
+
     # gather_tree's COLLECTIVE fallback: an array sharded across processes
     # (this process's shards do NOT cover it) must come back via
     # process_allgather — the layout zero_opt moments have at checkpoint
@@ -415,6 +423,12 @@ def test_multi_process_data_parallel(tmp_path, nproc):
     assert len(flag_rows) == nproc
     for r in flag_rows:
         assert r == [1.0, 0.0]
+
+    # divergent metrics broadcast: every process got process 0's values
+    b_rows = rows("MPBCAST")
+    assert len(b_rows) == nproc
+    for r in b_rows:
+        assert r == [1.0, 2.0], b_rows
 
     # collective gather fallback: full array recovered on every process
     g_rows = rows("MPGATHER")
