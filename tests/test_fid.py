@@ -215,6 +215,7 @@ def test_weight_loader_rejects_bad_state_dicts(tmp_path):
         inc.load_torch_weights(tmp_path / "badshape.pth")
 
 
+@pytest.mark.slow   # ~90-130s: full inception compile (measured r4)
 def test_metrics_calibrated_with_weights_file(tmp_path):
     """With a valid weights file configured, build() reports calibrated and
     InceptionMetrics logs plain fid/kid keys."""
@@ -247,6 +248,7 @@ def test_metrics_calibrated_with_weights_file(tmp_path):
     assert "fid" in out and "kid" in out
 
 
+@pytest.mark.slow   # ~90-130s: full inception compile (measured r4)
 def test_converted_model_frechet_matches_reference_formula(tmp_path):
     """On a CONVERTED model (torch state dict → flax), push two fixed image
     sets through pool3, then assert our jitted Newton–Schulz
@@ -300,6 +302,7 @@ def test_default_weights_path_drop_in(tmp_path, monkeypatch):
     assert not calibrated3
 
 
+@pytest.mark.slow   # ~90-130s: full inception compile (measured r4)
 def test_dump_fid_samples_writes_pngs(tmp_path):
     """val.dump_fid_samples=true writes the generated samples as PNGs under
     <logging_dir>/test_samples/ (reference parity, opt-in here)."""

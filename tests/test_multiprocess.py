@@ -1,4 +1,13 @@
-"""True multi-process (multi-host) data parallelism, exercised for real:
+"""NOTE (measured, round 4): these e2e tests are sensitive to BOX LOAD.
+XLA's CPU Gloo collectives have a hard 30 s context-init window (no knob
+reaches it from Python — xla_bridge.make_gloo_tcp_collectives takes only
+the distributed client), and a concurrent CPU-hogging process can skew two
+workers' compile finishes past it, killing the run with "Gloo context
+initialization failed: DEADLINE_EXCEEDED". The pigan Trainer e2e failed
+twice under a background training run and passed in 266 s on a quiet box,
+same tree. Run the slow tier without concurrent heavy jobs.
+
+True multi-process (multi-host) data parallelism, exercised for real:
 N JAX processes (2×4-device and 4×2-device layouts — the reference's 8-way
 DDP shape, conf/machine/big.yaml:2) form one 8-device global mesh via
 jax.distributed, each contributes its stripe of the global batch

@@ -5,6 +5,7 @@ counterpart: run_network.py:61,71 resume_from_checkpoint + the π-GAN D's
 alpha/resolution/iterations buffers, pigan.py:162-177)."""
 import jax
 import numpy as np
+import pytest
 
 from tests.conftest import CONF_DIR
 from lightning_gan_zoo_tpu.config import compose
@@ -28,6 +29,7 @@ def _leaves(tree):
     return [np.asarray(x) for x in jax.tree_util.tree_leaves(tree)]
 
 
+@pytest.mark.slow   # ~400s: trains a pigan across its annealing schedule
 def test_resume_across_annealing_boundary(tmp_path):
     # ---- uninterrupted run: 3 epochs (boundary inside)
     cfg_a = compose(CONF_DIR, TINY + [

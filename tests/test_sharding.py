@@ -28,7 +28,12 @@ def test_eight_cpu_devices_present():
     )
 
 
-@pytest.mark.parametrize("family", FAMILIES)
+_SLOW = {"hologan", "pigan", "anigan"}   # 100-200s each (measured r4)
+
+
+@pytest.mark.parametrize(
+    "family", [pytest.param(f, marks=pytest.mark.slow) if f in _SLOW
+               else f for f in FAMILIES])
 def test_data_parallel_superstep_8dev(family):
     """8-device sharded superstep runs, keeps params replicated, and its
     losses match single-device execution of the same global batch."""

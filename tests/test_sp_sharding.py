@@ -51,6 +51,7 @@ def test_shard_rays_constraint_applies():
         jnp.zeros((4, 63, 3)))
 
 
+@pytest.mark.slow   # ~110s per family (measured r4)
 @pytest.mark.parametrize("family", ["pigan", "anigan"])
 def test_sp_superstep_matches_single_device(family):
     """(2 data × 4 sp) superstep losses + init-param loss gradients match
@@ -86,6 +87,7 @@ def test_sp_superstep_matches_single_device(family):
                 err_msg=f"{family}:{side}{jax.tree_util.keystr(path)}")
 
 
+@pytest.mark.slow   # ~700s, the single slowest test (measured r4)
 def test_sp_folded_superstep_matches_sequential():
     """train.fold_steps defaults to 8 for pigan/anigan (the dispatch-bound
     volumetric families) — so the PRODUCTION sp path is folded. Pin the

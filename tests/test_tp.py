@@ -71,7 +71,12 @@ def _assert_actually_tp_sharded(state, mesh):
     assert hits >= 4, "tp mesh left every parameter leaf replicated"
 
 
-@pytest.mark.parametrize("family", TP_FAMILIES)
+_SLOW_TP = {"hologan", "pigan", "anigan"}   # 47-91s each (measured r4)
+
+
+@pytest.mark.parametrize(
+    "family", [pytest.param(f, marks=pytest.mark.slow) if f in _SLOW_TP
+               else f for f in TP_FAMILIES])
 def test_tp_superstep_matches_single_device(family):
     """(data=2, tp=4) superstep == 1-device superstep on the same global
     batch, with weights genuinely channel-sharded."""
@@ -100,6 +105,7 @@ def test_tp_superstep_matches_single_device(family):
             err_msg=f"{family}:g{jax.tree_util.keystr(path)}")
 
 
+@pytest.mark.slow   # ~40s (measured r4)
 def test_three_axis_mesh_pigan():
     """The full (data=2, sp=2, tp=2) factorization: rays sharded over 'sp'
     inside the NeRF renderer AND weights channel-sharded over 'tp',
