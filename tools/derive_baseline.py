@@ -51,7 +51,13 @@ BENCH_SHAPES = {
 }
 
 V100_FP16_PEAK = 125e12      # tensor-core peak, V100-SXM2
-UTILISATIONS = (0.15, 0.20, 0.25)
+# 5% = what small-batch GAN steps with host-side per-step RNG and
+# PL-Python dispatch actually reach end-to-end (the long-documented
+# 2500 img/s dc_gan anchor corresponds to 4.3% of V100 peak at the
+# measured 2.15 GFLOP/img); 15-25% = an optimistic ceiling band for a
+# perfectly-tuned reference. Quoting the range keeps the derived anchor
+# honest in both directions.
+UTILISATIONS = (0.05, 0.15, 0.25)
 
 
 def derive_one(family: str) -> dict:
@@ -107,15 +113,14 @@ def bench_family(family: str, batch: int, img: int):
     from lightning_gan_zoo_tpu.config import compose
     from lightning_gan_zoo_tpu.config.registry import instantiate
 
+    # mirror bench.py's scoreboard recipe exactly (the anchors are for the
+    # BENCH rows): volumetric families run machine=local at the annealing
+    # START resolution with the benched batch override
     ov = [f"+expt={family}", "dataset=synthetic", "calc_fid=False",
           "save_ckpts=False", f"train.batch_size={batch}",
           f"train.img_size={img}"]
     if family in ("pigan", "anigan"):
-        ov = [f"+expt={family}", "machine=small", "dataset=synthetic",
-              "calc_fid=False", "save_ckpts=False",
-              f"train.batch_size={batch}", f"train.img_size={img}",
-              f"resolution_annealing.resolutions=[{img},{img}]",
-              f"variable_batch_size.batch_sizes=[{batch},{batch}]"]
+        ov.insert(1, "machine=local")
     cfg = compose(REPO / "conf", ov)
     task = instantiate(cfg.model.lm, cfg, "/tmp/derive_baseline")
     return cfg, task
