@@ -36,17 +36,21 @@ REFERENCE_IMAGES_PER_SEC = 2500.0  # documented anchor, see module docstring
 
 # Per-family anchor: the 2500 img/s estimate is only meaningful for the five
 # CelebA-64 expts named by the BASELINE.json north star (dc_gan, wgan,
-# wgan_gp, gan_stability_r1, hologan). The NeRF volumetric families have no
-# comparable reference baseline (the reference publishes nothing and a DCGAN
-# anchor is category-wrong for a per-ray renderer) — their rows carry
-# vs_baseline=null and the meaningful fields are device_ms_per_superstep/mfu.
+# wgan_gp, gan_stability_r1, hologan). The NeRF volumetric families use the
+# round-4 DERIVED anchor (tools/derive_baseline.py: XLA cost-model FLOPs per
+# trained image at the bench shapes ÷ into a V100's 125 TF/s fp16 peak at
+# the realistic 5% end-to-end utilisation — the same formula reproduces the
+# 2500 dc_gan anchor at 4.3%; full table + rationale in BASELINE.md). The
+# reference's own chunk-loop renderer with per-chunk device→host copies
+# would land below that line, so the ratio is conservative.
 FAMILY_ANCHOR = {
     "dc_gan": REFERENCE_IMAGES_PER_SEC, "wgan": REFERENCE_IMAGES_PER_SEC,
     "wgan_gp": REFERENCE_IMAGES_PER_SEC,
     "gan_stability_r1": REFERENCE_IMAGES_PER_SEC,
     "hologan": REFERENCE_IMAGES_PER_SEC,
-    "pigan": None, "anigan": None,
+    "pigan": 214.2, "anigan": 146.1,   # derived_anchor_5pct
 }
+DERIVED_ANCHOR_FAMILIES = ("pigan", "anigan")
 
 # bf16 peak matmul FLOP/s by device kind, for the analytic MFU field
 PEAK_FLOPS_BY_KIND = {
@@ -366,6 +370,11 @@ def main():
     if anchor is None:
         row["baseline_note"] = ("no comparable reference baseline for NeRF "
                                 "volumetric families; see device_ms/mfu")
+    elif expt in DERIVED_ANCHOR_FAMILIES:
+        row["baseline_note"] = (
+            f"derived_anchor_5pct={anchor} img/s (tools/derive_baseline.py: "
+            "XLA cost-model FLOPs/img vs V100 fp16 peak at 5% utilisation; "
+            "BASELINE.md r4)")
     if device_ms is not None:
         row["device_ms_per_superstep"] = round(device_ms, 3)
         row["device_images_per_sec"] = round(
