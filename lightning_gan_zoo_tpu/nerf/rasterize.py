@@ -26,8 +26,13 @@ from .cameras import OrthographicCameras
 def render_mesh_lambert(verts: jax.Array, faces: jax.Array,
                         cameras: OrthographicCameras, img_size: int,
                         light_dir=(0.0, 0.0, -1.0),
-                        face_chunk: int = 512) -> jax.Array:
-    """verts: (B, V, 3) world; faces: (F, 3) int32; → (B, S, S, 3) in [0,1]."""
+                        face_chunk: int = 512,
+                        colors: jax.Array = None) -> jax.Array:
+    """verts: (B, V, 3) world; faces: (F, 3) int32; → (B, S, S, 3) in [0,1].
+
+    ``colors``: optional (B, 3) per-instance albedo in [0, 1]; the Lambert
+    shade multiplies it over the white background (default: white albedo —
+    identical to the historical grayscale output)."""
     b = verts.shape[0]
     s = img_size
     # world → view (pytorch3d row-vector convention)
@@ -56,7 +61,10 @@ def render_mesh_lambert(verts: jax.Array, faces: jax.Array,
     faces_c = faces_p.reshape(-1, face_chunk, 3)
     valid_c = valid.reshape(-1, face_chunk)
 
-    def render_one(v2d_b, zs_b, vview_b):
+    if colors is None:
+        colors = jnp.ones((b, 3), jnp.float32)
+
+    def render_one(v2d_b, zs_b, vview_b, col_b):
         def body(carry, fc):
             zbuf, shade = carry
             f, ok = fc
@@ -97,10 +105,12 @@ def render_mesh_lambert(verts: jax.Array, faces: jax.Array,
         init = (jnp.full((s * s,), jnp.inf),
                 jnp.zeros((s * s,)))
         (zbuf, shade), _ = jax.lax.scan(body, init, (faces_c, valid_c))
-        img = jnp.where(jnp.isfinite(zbuf), shade, 1.0)   # white background
-        return jnp.repeat(img.reshape(s, s, 1), 3, axis=-1)
+        fg = jnp.isfinite(zbuf)                           # white background
+        rgb = jnp.where(fg[:, None], shade[:, None] * col_b[None, :], 1.0)
+        return rgb.reshape(s, s, 3)
 
-    return jax.vmap(render_one)(v2d, zs, vview)
+    return jax.vmap(render_one)(v2d, zs, vview,
+                                jnp.asarray(colors, jnp.float32))
 
 
 def _vertex_normals(vview: jax.Array, faces: jax.Array) -> jax.Array:
