@@ -79,6 +79,32 @@ def test_rasterizer_renders_triangle():
     assert img[0, :, :, 0].min() > 0.2   # ambient floor
 
 
+def test_rasterizer_per_instance_colors():
+    """colors=(B,3) tints the Lambert shade channel-wise over the white
+    background; colors=None stays bit-identical to the historical
+    grayscale output (tools/make_shapes_dataset.py depends on both)."""
+    from lightning_gan_zoo_tpu.nerf.cameras import look_at_view_transform
+    from lightning_gan_zoo_tpu.nerf.rasterize import render_mesh_lambert
+    verts = jnp.asarray([[[-0.5, -0.5, 0.0], [0.5, -0.5, 0.0],
+                          [0.0, 0.6, 0.0]]] * 2)
+    faces = jnp.asarray([[0, 1, 2]], jnp.int32)
+    cams = look_at_view_transform(2.0, jnp.asarray([30.0, 30.0]),
+                                  jnp.asarray([40.0, 40.0]))
+    plain = np.asarray(render_mesh_lambert(verts, faces, cams, 32))
+    tinted = np.asarray(render_mesh_lambert(
+        verts, faces, cams, 32,
+        colors=jnp.asarray([[1.0, 1.0, 1.0], [1.0, 0.5, 0.0]])))
+    # white albedo == legacy grayscale path, bit for bit
+    np.testing.assert_array_equal(tinted[0], plain[0])
+    fg = tinted[1, :, :, 0] < 0.999
+    assert fg.sum() > 20
+    # tinted foreground keeps the channel ratio, background stays white
+    np.testing.assert_allclose(tinted[1, fg, 1], tinted[1, fg, 0] * 0.5,
+                               rtol=1e-5)
+    np.testing.assert_array_equal(tinted[1, fg, 2], 0.0)
+    assert tinted[1, 0, 0].tolist() == [1.0, 1.0, 1.0]
+
+
 def test_phong_rasterizer_smooth_shading_and_specular():
     """render_mesh_phong: an icosphere-ish faceted ball must shade SMOOTHLY
     (interpolated vertex normals → many distinct shade levels across a
