@@ -119,7 +119,8 @@ class Composer:
                 plan.append((group, choice, package))
 
         # Split CLI overrides into group selections, appends, and value sets.
-        appends: list[tuple[str, str]] = []  # (+group, choice) → composed after primary
+        # appends: (+group, choice, package) → composed after primary
+        appends: list[tuple[str, str, str | None]] = []
         value_overrides: list[str] = []
         deletions: list[str] = []
         for ov in overrides:
@@ -136,6 +137,24 @@ class Composer:
                 raise ComposeError(f"Override missing '=': {ov!r}")
             key, value = body.split("=", 1)
             key = key.strip()
+            if "@" in key:
+                # Hydra's package-redirect selection, e.g.
+                # ``+figures@figures.azimuth_step=azimuth_step`` — compose
+                # <group>/<choice>.yaml into the <package> node (the CLI
+                # twin of a ``- /figures@figures.x: y`` defaults entry).
+                gpart, pkg = key.split("@", 1)
+                gpart = gpart.strip().lstrip("/")
+                pkg = pkg.strip()
+                if self._is_group(gpart):
+                    replaced = False
+                    for i, (g, _c, p) in enumerate(plan):
+                        if g == gpart and p == pkg:
+                            plan[i] = (g, value, p)
+                            replaced = True
+                            break
+                    if not replaced:
+                        appends.append((gpart, value, pkg))
+                    continue
             if self._is_group(key):
                 replaced = False
                 for i, (g, _c, p) in enumerate(plan):
@@ -144,7 +163,7 @@ class Composer:
                         replaced = True
                         break
                 if not replaced:
-                    appends.append((key, value))
+                    appends.append((key, value, None))
             elif add or force_add:
                 value_overrides.append(f"{key}={value}")
             else:
@@ -158,8 +177,8 @@ class Composer:
         _deep_merge(cfg, primary)
         # 3. appended groups (e.g. +expt=dc_gan, machine=small), each with its
         #    own defaults list processed first (figure packages, overrides)
-        for group, choice in appends:
-            self._merge_group(cfg, group, choice, package=None,
+        for group, choice, pkg in appends:
+            self._merge_group(cfg, group, choice, package=pkg,
                               replace=True)
         # 4. CLI value overrides
         for ov in value_overrides:

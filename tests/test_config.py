@@ -88,3 +88,29 @@ def test_delete_override():
     cfg = compose(CONF_DIR, ["+expt=dc_gan", "dataset=mnist",
                              "~figures.interpolation"])
     assert "interpolation" not in cfg.figures
+
+
+def test_cli_package_redirect_append_and_replace():
+    # Hydra CLI parity: ``+figures@figures.x=choice`` composes
+    # conf/figures/choice.yaml into cfg.figures.x (basic_launcher grammar,
+    # reference run_network.py figure selection is defaults-list only).
+    cfg = compose(CONF_DIR, [
+        "+expt=pigan", "machine=local", "dataset=celeb_a",
+        "model.noise_dim=64", "train.img_size=32",
+        "nerf.siren_dim_hidden=48", "nerf.siren_num_layers=3",
+        "nerf.n_pts_per_ray=8", "nerf.n_pts_per_ray_fine=8",
+        "resolution_annealing.resolutions=[16,32,32]",
+        "variable_batch_size.batch_sizes=[16,16,16]",
+        "+figures@figures.azimuth_step=azimuth_step",
+    ])
+    assert "AzimuthStep" in cfg.figures.azimuth_step._target_
+    # the machine=local sample grid default is still there
+    assert "sample_grid" in cfg.figures
+
+    # replacing an existing packaged defaults entry swaps the node wholesale
+    cfg2 = compose(CONF_DIR, [
+        "+expt=hologan", "dataset=celeb_a",
+        "figures@figures.azimuth_gif=azimuth_gif_small",
+    ])
+    assert cfg2.figures.azimuth_gif.ncol == 2
+    assert len(cfg2.figures) == 6  # replaced, not appended
