@@ -8,8 +8,11 @@ Usage mirrors the reference (run_network.py:25-75 there):
     python run_network.py +expt=wgan dataset=mnist --cfg job   # print config
 
 Overrides: ``group=choice`` selects a config-group option, ``a.b.c=v`` sets a
-value, ``+key=v`` adds, ``~key`` deletes. ``--cfg job`` prints the composed
-config and exits (Hydra's debugging flag).
+value, ``+key=v`` adds, ``~key`` deletes, and
+``+group@package.path=choice`` composes ``conf/<group>/<choice>.yaml`` into
+an arbitrary package node (e.g. ``+figures@figures.azimuth_step=azimuth_step``
+attaches an extra figure callback). ``--cfg job`` prints the composed config
+and exits (Hydra's debugging flag).
 """
 from __future__ import annotations
 

@@ -72,7 +72,7 @@ def plot_losses(loss, steps_per_epoch, out: Path):
     ax.annotate("G loss", (ep[-1], g[-1]), xytext=(6, 0),
                 textcoords="offset points", color=INK, fontsize=9,
                 va="center")
-    _style(ax, "DCGAN on digits — per-epoch mean losses", "epoch", "loss")
+    _style(ax, "Per-epoch mean losses", "epoch", "loss")
     ax.set_xlim(left=0)
     fig.tight_layout()
     fig.savefig(out, facecolor="white")
@@ -100,20 +100,23 @@ def plot_fid(fid, steps_per_epoch, out: Path):
     plt.close(fig)
 
 
-def progression(run_dir: Path, out: Path, upscale: int = 4):
-    """Sample grids at selected epochs, side by side, epoch-labelled."""
+def progression(run_dir: Path, out: Path, upscale: int = 4,
+                fig_name: str = "SampleGrid.png"):
+    """Per-epoch figures at selected epochs, side by side, epoch-labelled."""
     from PIL import Image, ImageDraw
 
     fig_dir = run_dir / "figures"
     epochs = sorted(int(p.name.split("_")[1])
                     for p in fig_dir.glob("epoch_*")
-                    if (p / "SampleGrid.png").exists())
+                    if (p / fig_name).exists())
+    if not epochs:
+        return []
     if len(epochs) > 6:     # first, last, and evenly spaced between
         idx = np.linspace(0, len(epochs) - 1, 6).round().astype(int)
         epochs = [epochs[i] for i in sorted(set(idx))]
     tiles = []
     for e in epochs:
-        img = Image.open(fig_dir / f"epoch_{e}" / "SampleGrid.png")
+        img = Image.open(fig_dir / f"epoch_{e}" / fig_name)
         img = img.resize((img.width * upscale, img.height * upscale),
                          Image.NEAREST)
         tiles.append((e, img))
@@ -143,14 +146,19 @@ def main(argv):
     plot_losses(loss, spe, out_dir / "loss_curves.png")
     plot_fid(fid, spe, out_dir / "fid_trajectory.png")
     eps = progression(run_dir, out_dir / "samples_progression.png")
+    # volumetric runs: azimuth-sweep progression shows pose/identity
+    # factoring over training (AzimuthStep figure, rows=objects cols=views)
+    az_eps = progression(run_dir, out_dir / "azimuth_progression.png",
+                         upscale=2, fig_name="AzimuthStep.png")
     last = max(int(p.name.split("_")[1])
                for p in (run_dir / "figures").glob("epoch_*"))
-    gif = run_dir / "figures" / f"epoch_{last}" / "Interpolation.gif"
-    if gif.exists():
-        shutil.copy(gif, out_dir / "interpolation.gif")
+    for anim in ("Interpolation.gif", "AzimuthGif.gif"):
+        src = run_dir / "figures" / f"epoch_{last}" / anim
+        if src.exists():
+            shutil.copy(src, out_dir / anim.lower())
     print(f"wrote {out_dir}: losses({len(loss)} epochs), "
           f"fid({len(fid)} points), progression epochs {eps}, "
-          f"interpolation from epoch {last}")
+          f"azimuth progression epochs {az_eps}, anims from epoch {last}")
 
 
 if __name__ == "__main__":
