@@ -145,16 +145,25 @@ class Composer:
                 gpart, pkg = key.split("@", 1)
                 gpart = gpart.strip().lstrip("/")
                 pkg = pkg.strip()
-                if self._is_group(gpart):
-                    replaced = False
-                    for i, (g, _c, p) in enumerate(plan):
-                        if g == gpart and p == pkg:
-                            plan[i] = (g, value, p)
-                            replaced = True
-                            break
-                    if not replaced:
-                        appends.append((gpart, value, pkg))
-                    continue
+                if not self._is_group(gpart):
+                    # Hydra errors on an unknown group; silently composing a
+                    # literal 'group@pkg' value key would drop the intended
+                    # callback without a trace
+                    avail = sorted(p.name for p in self.config_dir.iterdir()
+                                   if p.is_dir())
+                    raise ComposeError(
+                        f"Package-redirect override {ov!r}: "
+                        f"'{gpart}' is not a config group. "
+                        f"Available groups: {avail}")
+                replaced = False
+                for i, (g, _c, p) in enumerate(plan):
+                    if g == gpart and p == pkg:
+                        plan[i] = (g, value, p)
+                        replaced = True
+                        break
+                if not replaced:
+                    appends.append((gpart, value, pkg))
+                continue
             if self._is_group(key):
                 replaced = False
                 for i, (g, _c, p) in enumerate(plan):

@@ -193,9 +193,14 @@ def render_mesh_phong(verts: jax.Array, faces: jax.Array,
             ldir = light_pos[None, None] - pos
             ldir = ldir / jnp.maximum(
                 jnp.linalg.norm(ldir, axis=-1, keepdims=True), 1e-9)
-            ndl = jnp.abs(jnp.sum(nrm * ldir, axis=-1))   # two-sided
-            refl = 2.0 * jnp.sum(nrm * ldir, axis=-1,
-                                 keepdims=True) * nrm - ldir
+            cosl = jnp.sum(nrm * ldir, axis=-1, keepdims=True)
+            ndl = jnp.abs(cosl[..., 0])                   # two-sided
+            # two-sided shading must also flip the normal for the specular
+            # reflection: with the raw normal a back-winding face gets a
+            # |n·l| diffuse term but a reflection vector pointing away from
+            # the viewer, losing/misplacing its highlight
+            nrm2 = nrm * jnp.sign(jnp.where(cosl == 0.0, 1.0, cosl))
+            refl = 2.0 * jnp.abs(cosl) * nrm2 - ldir
             spec = jnp.maximum(jnp.sum(refl * view_dir, axis=-1), 0.0)
             pix_shade = jnp.clip(
                 ambient + diffuse * ndl + specular * spec ** shininess,

@@ -105,7 +105,14 @@ class CheckpointManager:
         # and barriers internally).
         olds = [old.absolute() for old in self.dir.glob("model_*")
                 if old.absolute() != path
-                and ".orbax-checkpoint-tmp" not in old.name]
+                and ".orbax-checkpoint-tmp" not in old.name
+                # never garbage-collect a NEWER-epoch checkpoint: the
+                # experiment-level rescue dir is shared by every run of the
+                # same name, so a run preempted early must not delete a
+                # concurrent (or later) run's more-advanced rescue —
+                # select_resume's epoch arbitration then keeps the newest
+                # state winning, as documented
+                and CheckpointManager.ckpt_epoch(old) <= epoch]
         if _is_main() and path.exists():
             shutil.rmtree(path)
         _barrier("pre_save")

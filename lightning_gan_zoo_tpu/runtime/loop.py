@@ -306,6 +306,22 @@ class Trainer:
             bf = meta.get("best_fid")
             if bf is None:          # explicit None checks: 0.0 is a real
                 bf = meta.get("fid")  # (excellent) FID, not "unset"
+            # calibrated and uncalibrated FID are different scales: if the
+            # calibration status flipped between the saved run and this one
+            # (weights dropped in / removed between requeues), the stored
+            # threshold is meaningless — reset it instead of freezing (or
+            # trivialising) best-FID selection. Older metas lack the flag;
+            # there `fid` was only ever set when calibrated.
+            cal_saved = meta.get("fid_calibrated")
+            if cal_saved is None:
+                cal_saved = meta.get("fid") is not None
+            cal_now = self._fid_calibrated()
+            if bf is not None and cal_now is not None \
+                    and bool(cal_saved) != cal_now:
+                print(f"[resume] FID calibration changed "
+                      f"({cal_saved} → {cal_now}); resetting the best-FID "
+                      f"selection threshold")
+                bf = None
             self.best_fid = float(bf) if bf is not None else float("inf")
             # fast-forward epoch-scheduled knobs (resolution, batch size)
             # without resetting the restored progressive-growing alpha
@@ -461,7 +477,9 @@ class Trainer:
                                  epoch=self.epoch, fid=None,
                                  meta={"rescue": True,
                                        "version": self.version,
-                                       "best_fid": self.best_fid})
+                                       "best_fid": self.best_fid,
+                                       "fid_calibrated":
+                                           self._fid_calibrated()})
                 print(f"[rescue] checkpointed epoch {self.epoch} "
                       f"(step {global_step}) to "
                       f"{self._rescue_dir()}; exiting")
@@ -603,8 +621,20 @@ class Trainer:
                 epoch=self.epoch, fid=fid,
                 meta={"best_fid": (self.best_fid
                                    if self.best_fid != float("inf")
-                                   else None)})
+                                   else None),
+                      "fid_calibrated": self._fid_calibrated()})
         return metrics
+
+    def _fid_calibrated(self):
+        """True/False when a FID evaluator exists, None otherwise —
+        recorded in checkpoint meta so a resume can detect that the
+        calibration status flipped between runs (calibrated and
+        uncalibrated FID live on different scales; comparing a stored
+        threshold across the flip would freeze or trivialise best-FID
+        selection)."""
+        if self.metrics_eval is None:
+            return None
+        return bool(self.metrics_eval.calibrated)
 
 
 def _print_shapes(task):

@@ -114,3 +114,10 @@ def test_cli_package_redirect_append_and_replace():
     ])
     assert cfg2.figures.azimuth_gif.ncol == 2
     assert len(cfg2.figures) == 6  # replaced, not appended
+
+
+def test_cli_package_redirect_unknown_group_raises():
+    from lightning_gan_zoo_tpu.config.compose import ComposeError
+    with pytest.raises(ComposeError):
+        compose(CONF_DIR, ["+expt=dc_gan", "dataset=mnist",
+                           "+figuers@figures.x=sample_grid"])

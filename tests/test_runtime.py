@@ -354,3 +354,68 @@ def _csv_metric_keys(logging_dir):
     import csv
     with open(logging_dir / "metrics.csv") as f:
         return set(csv.DictReader(f).fieldnames or [])
+
+
+def test_retention_keeps_newer_epoch_rescue(tmp_path):
+    """A shared experiment-level rescue dir must never lose a NEWER-epoch
+    rescue to an earlier-preempted run's retention pass: a run rescued at
+    epoch 3 cleaning up after its own save must leave a concurrent run's
+    epoch-50 rescue on disk (select_resume's epoch arbitration then makes
+    the newest state win)."""
+    state = {"w": jnp.ones((2,))}
+    # concurrent run A rescued at epoch 50
+    mgr_a = CheckpointManager(tmp_path, save_ckpts=True)
+    mgr_a.save_best(state, epoch=50, fid=None, meta={"rescue": True})
+    assert (tmp_path / "model_epoch-50").exists()
+    # run B (same experiment name, same shared dir) rescued at epoch 3
+    mgr_b = CheckpointManager(tmp_path, save_ckpts=True)
+    mgr_b.save_best(state, epoch=3, fid=None, meta={"rescue": True})
+    assert (tmp_path / "model_epoch-3").exists()
+    assert (tmp_path / "model_epoch-50").exists(), \
+        "newer-epoch rescue deleted by an older run's retention"
+    # same-run monotonic saves still prune their predecessors
+    mgr_b.save_best(state, epoch=60, fid=None, meta={"rescue": True})
+    assert not (tmp_path / "model_epoch-3").exists()
+    assert not (tmp_path / "model_epoch-50").exists()
+
+
+def test_resume_resets_best_fid_on_calibration_flip(tmp_path):
+    """Calibrated and uncalibrated FID are different scales: a resume that
+    flips calibration status (weights dropped in / removed between
+    requeues) must reset the stored best-FID threshold instead of
+    comparing across scales (which freezes or trivialises selection)."""
+    from types import SimpleNamespace
+
+    base = ["+expt=dc_gan", "dataset=synthetic", "train.img_size=16",
+            "train.features_gen=8", "train.features_disc=8",
+            "model.noise_dim=16", "train.batch_size=4", "dataset.n=8",
+            "calc_fid=False", "save_ckpts=False", "precision=32"]
+    cfg = compose(CONF_DIR, base + [f"output_root={tmp_path}", "version=a"])
+    tr = Trainer(cfg)
+    tr._init_state(1)
+    ckdir = tmp_path / "ck"
+    mgr = CheckpointManager(ckdir, save_ckpts=True)
+    mgr.save_best(jax.device_get(tr.state), epoch=0, fid=None,
+                  meta={"best_fid": 66.0, "fid_calibrated": True})
+
+    cfg2 = compose(CONF_DIR, base + [f"output_root={tmp_path}",
+                                     "version=b",
+                                     f"train.ckpt_dir={ckdir}"])
+    # calibration flipped (stored: calibrated, now: uncalibrated) → reset
+    tr2 = Trainer(cfg2)
+    tr2.metrics_eval = SimpleNamespace(calibrated=False)
+    tr2._init_state(1)
+    assert tr2.best_fid == float("inf")
+    # matching calibration → threshold carries over
+    tr3 = Trainer(compose(CONF_DIR, base + [f"output_root={tmp_path}",
+                                            "version=c",
+                                            f"train.ckpt_dir={ckdir}"]))
+    tr3.metrics_eval = SimpleNamespace(calibrated=True)
+    tr3._init_state(1)
+    assert tr3.best_fid == 66.0
+    # no FID evaluator at all (calc_fid=false) → unknown, keep the value
+    tr4 = Trainer(compose(CONF_DIR, base + [f"output_root={tmp_path}",
+                                            "version=d",
+                                            f"train.ckpt_dir={ckdir}"]))
+    tr4._init_state(1)
+    assert tr4.best_fid == 66.0

@@ -49,9 +49,11 @@ def read_metrics(run_dir: Path):
         if r.get("train/d_loss"):
             loss.append((int(r["step"]), float(r["train/d_loss"]),
                          float(r["train/g_loss"])))
-        if r.get("fid_uncalibrated"):
-            fid.append((int(r["step"]), float(r["fid_uncalibrated"]),
-                        float(r["kid_uncalibrated"])))
+        # calibrated runs log fid/kid; zero-egress runs fid_uncalibrated
+        f = r.get("fid") or r.get("fid_uncalibrated")
+        k = r.get("kid") or r.get("kid_uncalibrated") or "0"
+        if f:
+            fid.append((int(r["step"]), float(f), float(k)))
     return loss, fid
 
 
@@ -84,6 +86,8 @@ def plot_fid(fid, steps_per_epoch, out: Path):
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
 
+    if not fid:
+        return
     ep = [s / steps_per_epoch for s, _, _ in fid]
     v = [x for _, x, _ in fid]
     fig, ax = plt.subplots(figsize=(7, 3.2), dpi=150)
@@ -150,12 +154,14 @@ def main(argv):
     # factoring over training (AzimuthStep figure, rows=objects cols=views)
     az_eps = progression(run_dir, out_dir / "azimuth_progression.png",
                          upscale=2, fig_name="AzimuthStep.png")
-    last = max(int(p.name.split("_")[1])
-               for p in (run_dir / "figures").glob("epoch_*"))
-    for anim in ("Interpolation.gif", "AzimuthGif.gif"):
-        src = run_dir / "figures" / f"epoch_{last}" / anim
-        if src.exists():
-            shutil.copy(src, out_dir / anim.lower())
+    fig_epochs = [int(p.name.split("_")[1])
+                  for p in (run_dir / "figures").glob("epoch_*")]
+    last = max(fig_epochs) if fig_epochs else None
+    if last is not None:
+        for anim in ("Interpolation.gif", "AzimuthGif.gif"):
+            src = run_dir / "figures" / f"epoch_{last}" / anim
+            if src.exists():
+                shutil.copy(src, out_dir / anim.lower())
     print(f"wrote {out_dir}: losses({len(loss)} epochs), "
           f"fid({len(fid)} points), progression epochs {eps}, "
           f"azimuth progression epochs {az_eps}, anims from epoch {last}")

@@ -43,7 +43,7 @@ OVERRIDES = [
     "model.noise_dim=64", "train.features_disc=32",
     "resolution_annealing.resolutions=[16,32,32]",
     "variable_batch_size.batch_sizes=[16,16,16]",
-    "accumulate_grad_batches=1",
+    "accumulate_grad_batches=1", "nerf.white_bg=True",
     "calc_fid=False", "save_ckpts=False", "seed=42",
 ]
 
@@ -141,8 +141,11 @@ def identity_consistency(sweep: np.ndarray) -> dict:
     for i in range(objs):
         for j in range(views):
             img = sweep[i, j]
-            fg = img.max(-1) > 0.08
-            means[i, j] = img[fg].mean(0) if fg.any() else 0.0
+            # backgrounds are WHITE (dataset + white_bg renderer); object
+            # albedos are saturated with one low channel, so foreground =
+            # pixels with a clearly non-white minimum channel
+            fg = img.min(-1) < 0.7
+            means[i, j] = img[fg].mean(0) if fg.any() else 1.0
     intra = float(np.linalg.norm(means.std(axis=1), axis=-1).mean())
     inter = float(np.linalg.norm(means.mean(axis=1).std(axis=0)))
     return {"albedo_intra_view_std": round(intra, 4),
