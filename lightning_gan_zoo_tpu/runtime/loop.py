@@ -634,7 +634,8 @@ class Trainer:
         selection)."""
         if self.metrics_eval is None:
             return None
-        return bool(self.metrics_eval.calibrated)
+        cal = getattr(self.metrics_eval, "calibrated", None)
+        return None if cal is None else bool(cal)
 
 
 def _print_shapes(task):
