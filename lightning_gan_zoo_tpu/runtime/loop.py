@@ -187,7 +187,9 @@ class Trainer:
         ``select_resume`` keeps the newest state winning."""
         return self.logging_dir.parent / "ckpts_rescue"
 
-    def _accum_factor(self) -> int:
+    def _accum_factor(self, epoch: Optional[int] = None) -> int:
+        if epoch is None:
+            epoch = self.epoch
         node = self.cfg.get("accumulate_grad_batches", 1)
         if isinstance(node, (int, float)):
             return max(int(node), 1)
@@ -195,7 +197,45 @@ class Trainer:
         # (run_network.py:62-64, conf/machine/*.yaml)
         start = int(node.get("start_epoch", 0))
         factor = int(node.get("accumulation_factor", 1))
-        return factor if self.epoch >= start else 1
+        return factor if epoch >= start else 1
+
+    def _batch_size_at(self, epoch: int) -> int:
+        """Global batch size in effect at ``epoch`` under the
+        variable_batch_size schedule (static replay of
+        _update_epoch_schedules' batch-size branch)."""
+        bs = self._initial_batch_size()
+        if "variable_batch_size" not in self.cfg:
+            return bs
+        ups = list(self.cfg.variable_batch_size.update_epochs)
+        sizes = list(self.cfg.variable_batch_size.batch_sizes)
+        for e, up in enumerate(ups):
+            if up <= epoch and e + 1 < len(sizes):
+                bs = int(sizes[e + 1])
+        return bs
+
+    def _epoch_superstep_table(self, dataset_len: int,
+                               num_epochs: int) -> List[int]:
+        """Exact supersteps-per-epoch for every training epoch, accounting
+        for variable_batch_size, epoch-scheduled grad accumulation and the
+        per-epoch fold clamp — mirrors _make_train_loader/EpochLoader
+        arithmetic. Feeds the epoch-derived LR schedules so their
+        count→epoch mapping stays exact across annealing boundaries
+        (previously the horizon was frozen from the first epoch's loader)."""
+        nproc = max(jax.process_count(), 1)
+        per_host = dataset_len // nproc
+        disc_freq = int(self.cfg.optimisation.disc_freq)
+        gen_freq = int(self.cfg.optimisation.gen_freq)
+        cfg_fold = self._fold()
+        table = []
+        for e in range(num_epochs):
+            bs = self._batch_size_at(e)
+            n_micro = microbatch_count(disc_freq, gen_freq,
+                                       self._accum_factor(e))
+            local_batch = max(bs // nproc, 1)
+            span = local_batch * n_micro
+            fold = min(cfg_fold, max(1, per_host // max(span, 1)))
+            table.append((per_host // (span * fold)) * fold)
+        return table
 
     def _update_epoch_schedules(self, replay: bool = False):
         """Variable batch size + resolution annealing at epoch boundaries
@@ -281,9 +321,11 @@ class Trainer:
         return self._compiled[key]
 
     # ---------------------------------------------------------------- init/resume
-    def _init_state(self, steps_per_epoch: int):
+    def _init_state(self, steps_per_epoch: int,
+                    epoch_supersteps: Optional[List[int]] = None):
         self.d_tx, self.g_tx = None, None
-        d_tx, g_tx = self.task.configure_optimizers(steps_per_epoch)
+        d_tx, g_tx = self.task.configure_optimizers(
+            steps_per_epoch, epoch_supersteps=epoch_supersteps)
         self.d_tx, self.g_tx = d_tx, g_tx
         g_vars, d_vars = self.task.init(jax.random.fold_in(self.root_rng, 0))
         state = create_train_state(g_vars, d_vars, g_tx, d_tx,
@@ -391,15 +433,16 @@ class Trainer:
         loader = self._make_train_loader()
         # epoch-based LR schedules count SUPERSTEPS per epoch; with
         # fold_steps > 1 the loader counts dispatches (fold supersteps each).
-        # DOCUMENTED APPROXIMATION: the schedule horizon is fixed from the
-        # FIRST epoch's loader; later annealing-driven batch-size/fold
-        # changes shift the true supersteps-per-epoch slightly (the
-        # reference's LambdaLR horizons are equally coarse — epoch-granular,
-        # lightning_module.py:254-265). Folding additionally drops up to
+        # The per-epoch table keeps the count→epoch mapping exact across
+        # batch-size-annealing / accumulation-schedule boundaries (the
+        # reference's LambdaLR horizons are epoch-granular too,
+        # lightning_module.py:254-265). Folding drops up to
         # fold·n_micro·batch−1 trailing images per epoch vs n_micro·batch−1
         # unfolded.
         steps_per_epoch = loader.steps_per_epoch() * self._active_fold
-        self._init_state(steps_per_epoch)
+        self._init_state(steps_per_epoch,
+                         epoch_supersteps=self._epoch_superstep_table(
+                             len(loader.dataset), num_epochs))
 
         global_step = int(self.state.step)
         while self.epoch < num_epochs:

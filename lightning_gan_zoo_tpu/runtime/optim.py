@@ -23,13 +23,55 @@ def constant_schedule(_base_lr: float, **_kw) -> Schedule:
     return lambda step: 1.0
 
 
-def hologan_schedule(total_epochs: int, steps_per_epoch: int) -> Schedule:
+def make_epoch_from_count(steps_per_epoch: int,
+                          updates_per_superstep: int = 1,
+                          epoch_supersteps: Optional[Sequence[int]] = None
+                          ) -> Schedule:
+    """Map an optax per-optimizer update count onto the training epoch.
+
+    The reference steps its LR schedulers once per *epoch* (PL's default
+    interval); here schedules are functions of the optax update count, so
+    the epoch must be recovered from it. Two corrections over the naive
+    ``count // steps_per_epoch``:
+
+    * each optimizer advances its count ``freq`` times per superstep
+      (HoloGAN's G runs gen_freq=2 updates per cycle — without the
+      multiplier its ramp would decay at twice the reference rate);
+    * with variable_batch_size / epoch-scheduled accumulation the
+      supersteps-per-epoch changes at annealing boundaries —
+      ``epoch_supersteps`` (one entry per epoch, precomputed by the
+      Trainer) makes the mapping exact via its cumulative boundaries.
+    """
+    upd = max(int(updates_per_superstep), 1)
+    if epoch_supersteps is not None and len(set(epoch_supersteps)) > 1:
+        import numpy as np
+        bounds = np.cumsum(np.asarray(epoch_supersteps, dtype=np.int64)
+                           * upd)
+
+        def fn(count):
+            import jax.numpy as jnp
+            return jnp.searchsorted(jnp.asarray(bounds), count,
+                                    side="right")
+        return fn
+    spe = (int(epoch_supersteps[0]) if epoch_supersteps
+           else int(steps_per_epoch))
+    return lambda count: count // max(spe * upd, 1)
+
+
+def hologan_schedule(total_epochs: int, steps_per_epoch: int,
+                     updates_per_superstep: int = 1,
+                     epoch_supersteps: Optional[Sequence[int]] = None
+                     ) -> Schedule:
     """HoloGAN ramp: constant for the first half of training, then linear
     decay to zero (core/utils/hologan.py:3-9). The reference steps it per
-    epoch; here the epoch index derives from the optimizer step count."""
+    epoch; here the epoch index derives from the optimizer update count
+    (see make_epoch_from_count)."""
+    epoch_of = make_epoch_from_count(steps_per_epoch, updates_per_superstep,
+                                     epoch_supersteps)
+
     def fn(step):
         import jax.numpy as jnp
-        epoch = step // max(steps_per_epoch, 1)
+        epoch = epoch_of(step)
         half = total_epochs / 2.0
         return jnp.where(epoch <= half, 1.0,
                          jnp.maximum(1.0 - (epoch - half) / half, 0.0))
@@ -95,8 +137,16 @@ def build_optimizer(opt_cfg: Config, schedule: Optional[Schedule] = None
 
 
 def build_lr_schedule(sched_cfg: Optional[Config], *, steps_per_epoch: int,
-                      total_epochs: int) -> Optional[Schedule]:
-    """Map a conf/lr_scheduler node onto a step→scale callable."""
+                      total_epochs: int, updates_per_superstep: int = 1,
+                      epoch_supersteps: Optional[Sequence[int]] = None
+                      ) -> Optional[Schedule]:
+    """Map a conf/lr_scheduler node onto a step→scale callable.
+
+    ``updates_per_superstep`` is the calling optimizer's frequency (its
+    optax count advances that many times per superstep);
+    ``epoch_supersteps`` is the Trainer's exact per-epoch superstep table
+    (see make_epoch_from_count).
+    """
     if sched_cfg is None:
         return None
     target = sched_cfg.get("_target_", "")
@@ -105,13 +155,16 @@ def build_lr_schedule(sched_cfg: Optional[Config], *, steps_per_epoch: int,
         gamma = float(sched_cfg.get("gamma", 1.0))
         if step_size <= 0 or gamma == 1.0:
             return None  # no-op (conf/lr_scheduler/step_lr.yaml)
+        epoch_of = make_epoch_from_count(steps_per_epoch,
+                                         updates_per_superstep,
+                                         epoch_supersteps)
 
         def fn(step):
-            epoch = step // max(steps_per_epoch, 1)
-            return gamma ** (epoch // step_size)
+            return gamma ** (epoch_of(step) // step_size)
         return fn
     if "hologan" in target:
         return hologan_schedule(int(sched_cfg.get("total_epochs",
                                                   total_epochs)),
-                                steps_per_epoch)
+                                steps_per_epoch, updates_per_superstep,
+                                epoch_supersteps)
     raise ValueError(f"Unsupported lr scheduler: {target!r}")

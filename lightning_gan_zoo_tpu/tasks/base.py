@@ -138,17 +138,31 @@ class GANTask:
         return out
 
     # -- optimizers ---------------------------------------------------------
-    def configure_optimizers(self, steps_per_epoch: int):
+    def configure_optimizers(self, steps_per_epoch: int,
+                             epoch_supersteps=None):
         """Return (d_tx, g_tx) optax transformations — the functional
         equivalent of BaseGAN.configure_optimizers
-        (core/lightning_module.py:75-87)."""
+        (core/lightning_module.py:75-87).
+
+        Epoch-derived LR schedules are built per optimizer: each one's
+        optax count advances ``freq`` times per superstep (HoloGAN 1:2),
+        and ``epoch_supersteps`` (when the Trainer provides it) makes the
+        count→epoch mapping exact across batch-size annealing boundaries.
+        """
         from ..runtime.optim import build_lr_schedule, build_optimizer
-        sched = build_lr_schedule(
-            self.cfg.optimisation.get("lr_scheduler"),
-            steps_per_epoch=steps_per_epoch,
-            total_epochs=int(self.cfg.train.num_epochs))
-        d_tx = build_optimizer(self.cfg.disc_optimiser, sched)
-        g_tx = build_optimizer(self.cfg.gen_optimiser, sched)
+        total_epochs = int(self.cfg.train.num_epochs)
+
+        def sched_for(freq: int):
+            return build_lr_schedule(
+                self.cfg.optimisation.get("lr_scheduler"),
+                steps_per_epoch=steps_per_epoch,
+                total_epochs=total_epochs,
+                updates_per_superstep=freq,
+                epoch_supersteps=epoch_supersteps)
+        d_tx = build_optimizer(self.cfg.disc_optimiser,
+                               sched_for(int(self.cfg.optimisation.disc_freq)))
+        g_tx = build_optimizer(self.cfg.gen_optimiser,
+                               sched_for(int(self.cfg.optimisation.gen_freq)))
         return d_tx, g_tx
 
     # -- hooks ----------------------------------------------------------------

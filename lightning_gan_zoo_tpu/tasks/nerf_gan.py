@@ -77,7 +77,11 @@ class PIGAN(GANTask):
                 "iterations": jnp.zeros((), jnp.int32)}
 
     # -- optimizers -----------------------------------------------------------
-    def configure_optimizers(self, steps_per_epoch: int):
+    def configure_optimizers(self, steps_per_epoch: int,
+                             epoch_supersteps=None):
+        # the π-GAN decay is a pure function of the optimizer update count
+        # (10k-step linear ramp, lightning_module.py:254-262) — the
+        # epoch-superstep table doesn't apply
         from ..runtime.optim import build_optimizer, pigan_decay_schedule
         d_lr = float(self.cfg.disc_optimiser.lr)
         g_lr = float(self.cfg.gen_optimiser.lr)

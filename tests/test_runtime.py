@@ -77,6 +77,64 @@ def test_hologan_schedule_ramp():
     assert float(sched(20)) == 0.0         # epoch 10
 
 
+def test_hologan_schedule_per_optimizer_freq():
+    """An optimizer running ``freq`` updates per superstep (HoloGAN's G:
+    gen_freq=2) must see the SAME epoch ramp as a freq-1 optimizer — its
+    optax count just advances twice as fast (lightning_module.py:84-87
+    frequency dicts; the ramp itself is core/utils/hologan.py:3-9)."""
+    base = O.hologan_schedule(total_epochs=10, steps_per_epoch=2)
+    twice = O.hologan_schedule(total_epochs=10, steps_per_epoch=2,
+                               updates_per_superstep=2)
+    for count in (0, 10, 16, 20):
+        assert float(twice(2 * count)) == pytest.approx(float(base(count)))
+
+
+def test_epoch_from_count_variable_table():
+    """count→epoch with a non-constant supersteps-per-epoch table (batch-size
+    annealing changes the horizon mid-run)."""
+    fn = O.make_epoch_from_count(steps_per_epoch=4,
+                                 epoch_supersteps=[4, 4, 2, 2])
+    expected = [0] * 4 + [1] * 4 + [2] * 2 + [3] * 2
+    for count, e in enumerate(expected):
+        assert int(fn(count)) == e
+    assert int(fn(12)) == 4  # past the end of training
+    # per-optimizer frequency scales every boundary
+    fn3 = O.make_epoch_from_count(steps_per_epoch=4,
+                                  epoch_supersteps=[4, 4, 2, 2],
+                                  updates_per_superstep=3)
+    for count, e in enumerate(expected):
+        assert int(fn3(3 * count)) == e
+    # constant table degrades to the plain division form
+    fnc = O.make_epoch_from_count(steps_per_epoch=99,
+                                  epoch_supersteps=[4, 4, 4])
+    assert int(fnc(7)) == 1 and int(fnc(8)) == 2
+
+
+def test_epoch_superstep_table_matches_loaders(tmp_path):
+    """Trainer._epoch_superstep_table must reproduce exactly what the real
+    per-epoch loaders yield across a variable_batch_size boundary."""
+    cfg = compose(CONF_DIR, ["+expt=dc_gan", "dataset=synthetic",
+                             "train.img_size=16", "train.features_gen=8",
+                             "train.features_disc=8", "model.noise_dim=16",
+                             "calc_fid=False", "save_ckpts=False",
+                             "precision=32", "train.num_epochs=4",
+                             "train.fold_steps=2",
+                             "variable_batch_size.update_epochs=[2,1000]",
+                             "variable_batch_size.batch_sizes=[4,8,8]",
+                             f"output_root={tmp_path}", "version=t"])
+    tr = Trainer(cfg)
+    loader0 = tr._make_train_loader()
+    table = tr._epoch_superstep_table(len(loader0.dataset), 4)
+    actual = []
+    for e in range(4):
+        tr.epoch = e
+        tr._update_epoch_schedules(replay=True)
+        loader = tr._make_train_loader()
+        actual.append(loader.steps_per_epoch() * tr._active_fold)
+    assert table == actual
+    assert len(set(table)) > 1  # the boundary actually changed the horizon
+
+
 def test_find_ckpt_arbitrates_multiple_by_epoch(tmp_path):
     # Save-then-delete retention means a crash between the new commit and
     # the old cleanup leaves two checkpoints; the newer epoch wins.
