@@ -84,8 +84,8 @@ def _bwd_kernel(x_ref, s_ref, b_ref, g_ref, dx_ref, ds_ref, db_ref, *,
     pre = y * s + b_ref[0].astype(jnp.float32)
     dact = jnp.where(pre >= 0, 1.0, slope)
     gp = g * dact
-    ds_ref[0] = jnp.sum(gp * y, axis=0).astype(ds_ref.dtype)
-    db_ref[0] = jnp.sum(gp, axis=0).astype(db_ref.dtype)
+    ds_ref[0] = jnp.sum(gp * y, axis=0, keepdims=True).astype(ds_ref.dtype)
+    db_ref[0] = jnp.sum(gp, axis=0, keepdims=True).astype(db_ref.dtype)
     gy = gp * s
     m1 = jnp.mean(gy, axis=0, keepdims=True)
     m2 = jnp.mean(gy * y, axis=0, keepdims=True)
@@ -106,7 +106,13 @@ def _row_spec(s, c):
 
 
 def _vec_spec(c):
-    return pl.BlockSpec((1, c), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    # scale/bias ride as (B, 1, C) so the block's last two dims (1, C)
+    # equal the array dims — Mosaic requires trailing block dims to be
+    # (8, 128)-divisible or array-equal, and a (1, C) block over (B, C)
+    # violates the sublane rule whenever B > 1 (caught on real TPU;
+    # interpret mode doesn't check it).
+    return pl.BlockSpec((1, 1, c), lambda i: (i, 0, 0),
+                        memory_space=pltpu.VMEM)
 
 
 def _fwd(xf, scale, bias, eps, slope, interpret):
@@ -119,23 +125,24 @@ def _fwd(xf, scale, bias, eps, slope, interpret):
         out_specs=_row_spec(s, c),
         out_shape=jax.ShapeDtypeStruct(xf.shape, xf.dtype),
         interpret=interpret,
-    )(xf, scale, bias)
+    )(xf, scale[:, None, :], bias[:, None, :])
 
 
 def _bwd(xf, scale, bias, gf, eps, slope, interpret):
     """Flattened-core backward: xf/gf are (B, S, C)."""
-    _, s, c = xf.shape
-    return tuple(pl.pallas_call(
+    b, s, c = xf.shape
+    dx, ds, db = pl.pallas_call(
         functools.partial(_bwd_kernel, eps=eps, slope=slope),
-        grid=(xf.shape[0],),
+        grid=(b,),
         in_specs=[_row_spec(s, c), _vec_spec(c), _vec_spec(c),
                   _row_spec(s, c)],
         out_specs=[_row_spec(s, c), _vec_spec(c), _vec_spec(c)],
         out_shape=[jax.ShapeDtypeStruct(xf.shape, xf.dtype),
-                   jax.ShapeDtypeStruct(scale.shape, jnp.float32),
-                   jax.ShapeDtypeStruct(bias.shape, jnp.float32)],
+                   jax.ShapeDtypeStruct((b, 1, c), jnp.float32),
+                   jax.ShapeDtypeStruct((b, 1, c), jnp.float32)],
         interpret=interpret,
-    )(xf, scale, bias, gf))
+    )(xf, scale[:, None, :], bias[:, None, :], gf)
+    return dx, ds[:, 0], db[:, 0]
 
 
 def _fwd_sharded(x, scale, bias, eps, slope, interpret):

@@ -138,7 +138,10 @@ def _rot_t(w: jax.Array) -> jax.Array:
 # -- kernel helpers ----------------------------------------------------------
 
 def _leaky(x):
-    return jnp.where(x >= 0, x, 0.2 * x)
+    # compare in f32: Mosaic's vector compare has no bf16 path on v5e
+    # ("Target does not support this comparison", real-TPU compile)
+    xf = x.astype(jnp.float32)
+    return jnp.where(xf >= 0, xf, 0.2 * xf)
 
 
 def _span(t, g: int, c: int):
@@ -146,8 +149,11 @@ def _span(t, g: int, c: int):
     left/right neighbours come from rolling the group axis; the wrapped
     edge groups are SAME-padding zeros."""
     r, j, _ = t.shape
-    left = pltpu.roll(t, 1, axis=1)[..., (g - 1) * c:]
-    right = pltpu.roll(t, j - 1, axis=1)[..., :c]   # roll by -1 (j-1 mod j)
+    # static ±1 circular shifts along the group axis, written as
+    # slice+concat: pltpu.roll lowers to tpu.dynamic_rotate, which Mosaic
+    # has no bf16 path for ("Rotate with non-32-bit data", real-TPU compile)
+    left = jnp.concatenate([t[:, -1:], t[:, :-1]], axis=1)[..., (g - 1) * c:]
+    right = jnp.concatenate([t[:, 1:], t[:, :1]], axis=1)[..., :c]
     jidx = jax.lax.broadcasted_iota(jnp.int32, (r, j, 1), 1)
     left = jnp.where(jidx == 0, 0.0, left)
     right = jnp.where(jidx == j - 1, 0.0, right)
@@ -266,7 +272,7 @@ def _bwd_kernel(xp, xc, xn, gp, gc, gn, b1p, b2tp, b1tp,
     a3 = _im2col(du3, 0, th, g, fh, _kdim(g, fh))
     dv = jnp.dot(a3, b1tp[:], preferred_element_type=jnp.float32)
     dv = dv.reshape(th, nj_w, g * ci)
-    v_c = slab_v[2:th + 2]
+    v_c = slab_v[2:th + 2].astype(jnp.float32)
     dx[0] = jnp.where(v_c >= 0, dv, 0.2 * dv).astype(dx.dtype)
 
     @pl.when(jnp.logical_and(b_i == nb - 1, j == nj - 1))

@@ -48,14 +48,11 @@ def _leaky(t):
     return jnp.where(t >= 0, t, 0.2 * t)
 
 
-_BF16_SLOPE = float(jnp.asarray(0.2, jnp.bfloat16))
-
-
 def _leaky_in_bf16(t):
-    """The kernel applies LeakyReLU to the bf16 input slab IN bf16 — the
-    slope itself rounds to bf16(0.2) and the product re-rounds."""
-    tb = _rb(t)
-    return jnp.where(tb >= 0, tb, _rb(_BF16_SLOPE * tb))
+    """The kernel casts the bf16 input slab to f32, applies LeakyReLU in
+    f32 (Mosaic's vector compare has no bf16 path on v5e) and re-rounds the
+    result to bf16 for the matmul."""
+    return _rb(_leaky(_rb(t)))
 
 
 def plain_core_bf16(x, w1, b1, w2, b2):
