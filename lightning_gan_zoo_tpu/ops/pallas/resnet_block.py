@@ -139,9 +139,12 @@ def _rot_t(w: jax.Array) -> jax.Array:
 
 def _leaky(x):
     # compare in f32: Mosaic's vector compare has no bf16 path on v5e
-    # ("Target does not support this comparison", real-TPU compile)
+    # ("Target does not support this comparison", real-TPU compile).
+    # Dtype-preserving: plain_core is also the R1 second-order lowering
+    # (_core_bwd_bwd), where a bf16 input must produce a bf16 output or the
+    # double-backward cotangent dtypes mismatch under jax.vjp.
     xf = x.astype(jnp.float32)
-    return jnp.where(xf >= 0, xf, 0.2 * xf)
+    return jnp.where(xf >= 0, xf, 0.2 * xf).astype(x.dtype)
 
 
 def _span(t, g: int, c: int):

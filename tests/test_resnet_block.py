@@ -179,6 +179,33 @@ def test_r1_second_order_matches_plain():
             _assert_flat(a, b, f"arg{argnum}", 3e-2)
 
 
+def test_r1_second_order_bf16_inputs():
+    """Regression (round-4 advisor, high): the production fuse='auto' path
+    feeds bf16 activations, and the R1 double-backward lowers through
+    plain_core — if _leaky silently promotes to f32, jax.vjp raises a
+    cotangent dtype mismatch (f32 primal out vs bf16 cotangent). Pin that
+    plain_core is dtype-preserving and the full grad-of-grad runs and
+    roughly matches the f32 result."""
+    args_f32 = _mk(16, 16, 8, 8, 8)
+    args_bf16 = tuple(a.astype(jnp.bfloat16) for a in args_f32)
+
+    assert plain_core(*args_bf16).dtype == jnp.bfloat16
+
+    def r1(fn, x, *params):
+        g = jax.grad(lambda xx: jnp.sum(
+            fn(xx, *params).astype(jnp.float32)))(x)
+        return jnp.sum(g.astype(jnp.float32) ** 2)
+
+    for fn in (plain_core,
+               lambda x, *p: fused_block_core(x, *p, True)):
+        got = jax.grad(lambda *a: r1(fn, *a), argnums=1)(*args_bf16)
+        ref = jax.grad(lambda *a: r1(plain_core, *a), argnums=1)(*args_f32)
+        assert got.dtype == jnp.bfloat16
+        got, ref = np.asarray(got, np.float32), np.asarray(ref, np.float32)
+        err = np.abs(got - ref).max() / (np.abs(ref).max() + 1e-8)
+        assert err < 0.15, f"bf16 second-order rel err {err}"
+
+
 def test_eligibility_gate():
     assert not eligible(16, 16, 8, 128, 8)    # fh over the lane budget
     assert not eligible(16, 16, 8, 8, 128)    # fo over the lane budget
