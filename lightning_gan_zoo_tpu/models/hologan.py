@@ -32,29 +32,17 @@ from ..ops.grid_sample import trilinear_resample
 from .layers import AdaIN, ZMapping, conv_init
 
 
-def _use_fused_norm(mode: str, spatial: int, channels: int) -> bool:
-    """Gate for the fused instance-norm epilogue (ops/pallas/adain.py):
-    'auto' (TPU + eligible shape), 'always', 'never', 'interpret'
-    (CPU-testable kernel path). YAML 1.1 coerces bare on/off to bools."""
-    mode = {True: "always", False: "never"}.get(mode, mode)
-    if mode == "never":
-        return False
-    from ..ops.pallas.adain import eligible
-    ok = eligible(spatial, channels)
-    if mode in ("always", "interpret"):
-        return ok
-    return ok and jax.default_backend() == "tpu"
+def _adain_relu(h, s, b, eps: float = 1e-8):
+    """AdaIN(h; s, b) + ReLU (AdaIN holds no params).
 
-
-def _adain_relu(h, s, b, mode: str, eps: float = 1e-8):
-    """AdaIN(h; s, b) + ReLU, fused into one Pallas epilogue when enabled
-    (identical parameterisation either way — AdaIN holds no params)."""
-    spatial = 1
-    for d in h.shape[1:-1]:
-        spatial *= d
-    if _use_fused_norm(mode, spatial, h.shape[-1]):
-        from ..ops.pallas.adain import fused_adain_act
-        return fused_adain_act(h, s, b, eps, 0.0, mode == "interpret")
+    Measurement note (round 5, v5e hardware): a fused AdaIN+activation
+    Pallas epilogue (1 read + 1 write vs XLA's 2+1) was built, hardware-
+    validated for correctness (fwd+bwd parity at tiny and production
+    shapes), then A/B'd on the full hologan superstep — it REGRESSED:
+    17.54 ms/superstep fused vs 15.24 ms plain (MFU 14.9% vs 17.2%).
+    XLA already fuses the normalisation epilogue into the surrounding
+    convolution's output schedule; the custom kernel fenced that fusion.
+    The kernel was deleted (see BASELINE.md "kernel verdicts")."""
     h = AdaIN(epsilon=eps, dtype=h.dtype)(h, s, b)
     return nn.relu(h)
 
@@ -195,7 +183,6 @@ def rigid_transform_project(voxels: jax.Array, view: jax.Array,
 class GenBlock3D(nn.Module):
     out_planes: int
     dtype: Any = jnp.float32
-    fused: str = "never"
 
     @nn.compact
     def __call__(self, h, z):
@@ -203,13 +190,12 @@ class GenBlock3D(nn.Module):
                              padding="SAME", dtype=self.dtype,
                              kernel_init=conv_init)(h)
         s, b = ZMapping(self.out_planes, dtype=self.dtype)(z)
-        return _adain_relu(h, s, b, self.fused)
+        return _adain_relu(h, s, b)
 
 
 class GenBlock2D(nn.Module):
     out_planes: int
     dtype: Any = jnp.float32
-    fused: str = "never"
 
     @nn.compact
     def __call__(self, h, z):
@@ -217,7 +203,7 @@ class GenBlock2D(nn.Module):
                              padding="SAME", dtype=self.dtype,
                              kernel_init=conv_init)(h)
         s, b = ZMapping(self.out_planes, dtype=self.dtype)(z)
-        return _adain_relu(h, s, b, self.fused)
+        return _adain_relu(h, s, b)
 
 
 class Generator(nn.Module):
@@ -228,8 +214,6 @@ class Generator(nn.Module):
     img_size: int = 64
     #: volume resample mode — see rigid_transform_volume
     resample: str = "auto"
-    #: fused AdaIN+ReLU epilogue kernel — see _use_fused_norm
-    fused_adain: str = "auto"
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -250,11 +234,9 @@ class Generator(nn.Module):
         x = jnp.broadcast_to(const, (b,) + const.shape[1:]).astype(self.dtype)
 
         s0, b0 = ZMapping(f * 8, dtype=self.dtype)(z)
-        h = _adain_relu(x, s0, b0, self.fused_adain)
-        h = GenBlock3D(f * 2, dtype=self.dtype,
-                       fused=self.fused_adain)(h, z)    # 4³ → 8³
-        h = GenBlock3D(f, dtype=self.dtype,
-                       fused=self.fused_adain)(h, z)    # 8³ → 16³
+        h = _adain_relu(x, s0, b0)
+        h = GenBlock3D(f * 2, dtype=self.dtype)(h, z)    # 4³ → 8³
+        h = GenBlock3D(f, dtype=self.dtype)(h, z)        # 8³ → 16³
 
         if self.resample == "shear":
             h = rigid_transform_volume(h, view_in, 16, 16,
@@ -273,10 +255,8 @@ class Generator(nn.Module):
         h = nn.Conv(f * 16, (1, 1), dtype=self.dtype,
                     kernel_init=conv_init)(h)
         h = nn.relu(h)
-        h = GenBlock2D(f * 4, dtype=self.dtype,
-                       fused=self.fused_adain)(h, z)     # 16 → 32
-        h = GenBlock2D(f, dtype=self.dtype,
-                       fused=self.fused_adain)(h, z)     # 32 → 64
+        h = GenBlock2D(f * 4, dtype=self.dtype)(h, z)    # 16 → 32
+        h = GenBlock2D(f, dtype=self.dtype)(h, z)        # 32 → 64
         if self.img_size == 128:
             h = nn.ConvTranspose(self.out_planes, (4, 4), strides=(2, 2),
                                  padding="SAME", dtype=self.dtype,
@@ -292,7 +272,6 @@ class DiscBlock(nn.Module):
     (hologan_discriminator.py:7-23)."""
     out_planes: int
     dtype: Any = jnp.float32
-    fused: str = "never"
 
     @nn.compact
     def __call__(self, x):
@@ -300,11 +279,6 @@ class DiscBlock(nn.Module):
         h = SpectralNormConv(self.out_planes, (5, 5), strides=(2, 2),
                              padding=[(2, 2), (2, 2)], dtype=self.dtype)(x)
         # InstanceNorm2d default affine=False in torch
-        if _use_fused_norm(self.fused, h.shape[1] * h.shape[2], h.shape[-1]):
-            from ..ops.pallas.adain import fused_adain_act
-            ones = jnp.ones((h.shape[0], h.shape[-1]), jnp.float32)
-            return fused_adain_act(h, ones, jnp.zeros_like(ones), 1e-5, 0.2,
-                                   self.fused == "interpret")
         mean = jnp.mean(h, axis=(1, 2), keepdims=True)
         var = jnp.var(h, axis=(1, 2), keepdims=True)
         h = (h - mean) * jax.lax.rsqrt(var + 1e-5)
@@ -315,8 +289,6 @@ class Discriminator(nn.Module):
     in_planes: int
     out_planes: int
     z_planes: int
-    #: fused InstanceNorm+LeakyReLU epilogue kernel — see _use_fused_norm
-    fused_norm: str = "auto"
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -325,9 +297,9 @@ class Discriminator(nn.Module):
         h = nn.Conv(f, (5, 5), strides=(2, 2), padding=[(2, 2), (2, 2)],
                     dtype=self.dtype, kernel_init=conv_init)(x)
         h = nn.leaky_relu(h, 0.2)
-        h = DiscBlock(f * 2, dtype=self.dtype, fused=self.fused_norm)(h)
-        h = DiscBlock(f * 4, dtype=self.dtype, fused=self.fused_norm)(h)
-        h = DiscBlock(f * 8, dtype=self.dtype, fused=self.fused_norm)(h)
+        h = DiscBlock(f * 2, dtype=self.dtype)(h)
+        h = DiscBlock(f * 4, dtype=self.dtype)(h)
+        h = DiscBlock(f * 8, dtype=self.dtype)(h)
         h = h.reshape(x.shape[0], -1)
         logit = nn.Dense(1, dtype=self.dtype, kernel_init=conv_init)(h)[:, 0]
         enc = nn.leaky_relu(nn.Dense(128, dtype=self.dtype,

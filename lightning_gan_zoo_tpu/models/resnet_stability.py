@@ -31,32 +31,25 @@ def actvn(x):
     return nn.leaky_relu(x, 0.2)
 
 
-class _ConvParams(nn.Module):
-    """nn.Conv-compatible parameter holder (names 'kernel'/'bias', HWIO)
-    for the fused-block path — checkpoints are interchangeable with the
-    LaneConv/plain-conv build in either direction."""
-    features: int
-    use_bias: bool = True
-
-    @nn.compact
-    def __call__(self, fin: int):
-        k = self.param("kernel", conv_init, (3, 3, fin, self.features),
-                       jnp.float32)
-        b = (self.param("bias", nn.initializers.zeros, (self.features,),
-                        jnp.float32) if self.use_bias else None)
-        return k, b
-
-
 class ResnetBlock(nn.Module):
+    """Pre-activation block, out = shortcut + 0.1·conv(act(conv(act(x)))).
+
+    Measurement note (round 5, v5e hardware): a whole-block fused Pallas
+    kernel (conv+leaky+conv per kernel instance, group-packed layout,
+    hand-written backward, R1 grad-of-grad via a plain-XLA twin) was
+    built for the lane-starved (≤64-channel) levels, hardware-validated
+    for correctness (fwd+bwd parity at tiny and 128px production shapes),
+    then A/B'd on the full gan_stability_r1 superstep — it REGRESSED
+    heavily: 34.02 ms/superstep fused vs 18.87 ms plain (MFU 4.7% vs
+    12.5%). Same verdict as the four lane-packing reformulations
+    (ops/lane_pack.py): XLA's whole-graph fusion beats local lane fixes,
+    and the custom-VJP boundary fences it. The kernel was deleted
+    (see BASELINE.md "kernel verdicts")."""
     fout: int
     fhidden: Optional[int] = None
     is_bias: bool = True
     dtype: Any = jnp.float32
     lane_pack: bool = False
-    #: fused conv+act+conv Pallas kernel for the lane-starved blocks:
-    #: 'auto' (TPU + bf16 + eligible shape), 'always', 'never', 'interpret'
-    #: (CPU-testable kernel path). See ops/pallas/resnet_block.py.
-    fuse: str = "auto"
 
     @nn.compact
     def __call__(self, x):
@@ -69,34 +62,12 @@ class ResnetBlock(nn.Module):
         else:
             x_s = x
 
-        # YAML 1.1 coerces bare on/off to bools, so the modes are
-        # auto/always/never/interpret (bools map to always/never)
-        fuse = {True: "always", False: "never"}.get(self.fuse, self.fuse)
-        use_fuse = False
-        if fuse != "never" and not self.lane_pack:
-            from ..ops.pallas.resnet_block import eligible
-            ok = eligible(x.shape[1], x.shape[2], fin, fhidden, self.fout)
-            if fuse in ("always", "interpret"):
-                use_fuse = ok
-            else:  # auto
-                use_fuse = (ok and self.dtype == jnp.bfloat16
-                            and jax.default_backend() == "tpu")
-        if use_fuse:
-            from ..ops.pallas.resnet_block import fused_block_core
-            w1, b1 = _ConvParams(fhidden, name="conv_0")(fin)
-            w2, b2 = _ConvParams(self.fout, use_bias=self.is_bias,
-                                 name="conv_1")(fhidden)
-            if b2 is None:
-                b2 = jnp.zeros((self.fout,), jnp.float32)
-            dx = fused_block_core(x.astype(self.dtype), w1, b1, w2, b2,
-                                  self.fuse == "interpret")
-        else:
-            dx = LaneConv(fhidden, (3, 3), dtype=self.dtype,
-                          kernel_init=conv_init, enabled=self.lane_pack,
-                          name="conv_0")(actvn(x))
-            dx = LaneConv(self.fout, (3, 3), use_bias=self.is_bias,
-                          dtype=self.dtype, kernel_init=conv_init,
-                          enabled=self.lane_pack, name="conv_1")(actvn(dx))
+        dx = LaneConv(fhidden, (3, 3), dtype=self.dtype,
+                      kernel_init=conv_init, enabled=self.lane_pack,
+                      name="conv_0")(actvn(x))
+        dx = LaneConv(self.fout, (3, 3), use_bias=self.is_bias,
+                      dtype=self.dtype, kernel_init=conv_init,
+                      enabled=self.lane_pack, name="conv_1")(actvn(dx))
         return x_s + 0.1 * dx
 
 
@@ -109,7 +80,6 @@ class Generator(nn.Module):
     nfilter_max: int = 512
     dtype: Any = jnp.float32
     lane_pack: bool = False
-    fuse: str = "auto"
 
     @nn.compact
     def __call__(self, z, train: bool = True):
@@ -123,10 +93,10 @@ class Generator(nn.Module):
         for i in range(nlayers):
             f_out = min(nf * 2 ** (nlayers - i - 1), nf_max)
             h = ResnetBlock(fout=f_out, dtype=self.dtype,
-                            lane_pack=self.lane_pack, fuse=self.fuse)(h)
+                            lane_pack=self.lane_pack)(h)
             h = upsample2_nearest(h)
         h = ResnetBlock(fout=nf, dtype=self.dtype,
-                        lane_pack=self.lane_pack, fuse=self.fuse)(h)
+                        lane_pack=self.lane_pack)(h)
         h = LaneConv(3, (3, 3), dtype=self.dtype, kernel_init=conv_init,
                      enabled=self.lane_pack, name="conv_img")(actvn(h))
         return jnp.tanh(h)
@@ -142,7 +112,6 @@ class Discriminator(nn.Module):
     final_sigmoid: bool = True
     dtype: Any = jnp.float32
     lane_pack: bool = False
-    fuse: str = "auto"
 
     @nn.compact
     def __call__(self, x, train: bool = True):
@@ -154,14 +123,14 @@ class Discriminator(nn.Module):
                      enabled=self.lane_pack,
                      name="conv_img")(x.astype(self.dtype))
         h = ResnetBlock(fout=nf, dtype=self.dtype,
-                        lane_pack=self.lane_pack, fuse=self.fuse)(h)
+                        lane_pack=self.lane_pack)(h)
         for i in range(nlayers):
             f_out = min(nf * 2 ** (i + 1), nf_max)
             # torch AvgPool2d(3, stride=2, padding=1), as an MXU conv
             # (reduce-window pooling measured at 14% of the superstep)
             h = avg_pool_mxu(h, window=3, stride=2, pad=1)
             h = ResnetBlock(fout=f_out, dtype=self.dtype,
-                            lane_pack=self.lane_pack, fuse=self.fuse)(h)
+                            lane_pack=self.lane_pack)(h)
         h = h.reshape(x.shape[0], -1)
         out = nn.Dense(self.nlabels, dtype=self.dtype)(actvn(h))
         out = out[:, 0]

@@ -31,40 +31,6 @@ def _shard(mesh, tree, specs):
         is_leaf=lambda x: isinstance(x, jax.Array))
 
 
-def test_adain_sharded(mesh):
-    from lightning_gan_zoo_tpu.ops.pallas.adain import (fused_adain_act,
-                                                        plain_adain_act)
-    B, S, C = 16, 64, 32
-    k = jax.random.split(jax.random.PRNGKey(0), 4)
-    x = jax.random.normal(k[0], (B, S, C))
-    s = jax.random.normal(k[1], (B, C)) + 1.0
-    b = jax.random.normal(k[2], (B, C))
-    w = jax.random.normal(k[3], (B, S, C))
-
-    bsh = NamedSharding(mesh, P("data"))
-    fwd = jax.jit(lambda x, s, b: fused_adain_act(x, s, b, 1e-5, 0.0, True),
-                  in_shardings=(bsh, bsh, bsh), out_shardings=bsh)
-    y = fwd(x, s, b)
-    np.testing.assert_allclose(np.asarray(y),
-                               np.asarray(plain_adain_act(x, s, b)),
-                               rtol=1e-5, atol=1e-5)
-    hlo = fwd.lower(x, s, b).compile().as_text()
-    assert "all-gather" not in hlo, "kernel fell back to batch replication"
-
-    def loss(fn, x, s, b):
-        return jnp.sum(fn(x, s, b) * w)
-
-    gs = jax.jit(jax.grad(lambda *a: loss(
-        lambda x, s, b: fused_adain_act(x, s, b, 1e-5, 0.0, True), *a),
-        argnums=(0, 1, 2)), in_shardings=(bsh, bsh, bsh))(x, s, b)
-    gr = jax.grad(lambda *a: loss(
-        lambda x, s, b: plain_adain_act(x, s, b), *a),
-        argnums=(0, 1, 2))(x, s, b)
-    for got, want in zip(gs, gr):
-        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
-                                   rtol=2e-4, atol=2e-5)
-
-
 def test_trilinear_sharded(mesh):
     from lightning_gan_zoo_tpu.ops.grid_sample import trilinear_resample
     from lightning_gan_zoo_tpu.ops.pallas.trilinear import (
@@ -142,53 +108,3 @@ def test_siren_trunk_sharded(mesh):
         # the sharded weight grads are psum'd partials — bit-order differs
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    rtol=5e-4, atol=5e-4)
-
-
-def test_resnet_block_sharded(mesh):
-    from lightning_gan_zoo_tpu.ops.pallas.resnet_block import (
-        eligible, fused_block_core, plain_core)
-    B, H, W, CI, FH, FO = 8, 8, 8, 16, 16, 16
-    assert eligible(H, W, CI, FH, FO)
-    k = jax.random.split(jax.random.PRNGKey(3), 5)
-    x = jax.random.normal(k[0], (B, H, W, CI)) * 0.5
-    w1 = jax.random.normal(k[1], (3, 3, CI, FH)) * 0.1
-    b1 = jax.random.normal(k[2], (FH,)) * 0.1
-    w2 = jax.random.normal(k[3], (3, 3, FH, FO)) * 0.1
-    b2 = jax.random.normal(k[4], (FO,)) * 0.1
-
-    def f(x, w1, b1, w2, b2):
-        return fused_block_core(x, w1, b1, w2, b2, True)
-
-    bsh = NamedSharding(mesh, P("data"))
-    rep = NamedSharding(mesh, P())
-    shard_in = (bsh, rep, rep, rep, rep)
-    fwd = jax.jit(f, in_shardings=shard_in, out_shardings=bsh)
-    y = fwd(x, w1, b1, w2, b2)
-    ref = plain_core(x, w1, b1, w2, b2)
-    np.testing.assert_allclose(np.asarray(y), np.asarray(ref),
-                               rtol=5e-2, atol=5e-2)   # bf16 matmul core
-    hlo = fwd.lower(x, w1, b1, w2, b2).compile().as_text()
-    assert "all-gather" not in hlo
-
-    # first-order weight grads cross the shards: psum'd partials must match
-    # the full-batch gradient of the plain core
-    def loss(fn, *a):
-        return jnp.sum(fn(*a) ** 2)
-
-    gs = jax.jit(jax.grad(lambda *a: loss(f, *a), argnums=(1, 3)),
-                 in_shardings=shard_in)(x, w1, b1, w2, b2)
-    gr = jax.grad(lambda *a: loss(plain_core, *a), argnums=(1, 3))(
-        x, w1, b1, w2, b2)
-    for got, want in zip(gs, gr):
-        scale = max(1.0, float(jnp.max(jnp.abs(want))))
-        np.testing.assert_allclose(np.asarray(got) / scale,
-                                   np.asarray(want) / scale, atol=6e-2)
-
-    # R1's grad-of-grad still composes under the mesh
-    def r1(x, w1, b1, w2, b2):
-        g = jax.grad(lambda xx: jnp.sum(f(xx, w1, b1, w2, b2)))(x)
-        return jnp.sum(g * g)
-
-    v = jax.jit(jax.grad(r1, argnums=1), in_shardings=shard_in)(
-        x, w1, b1, w2, b2)
-    assert np.all(np.isfinite(np.asarray(v)))

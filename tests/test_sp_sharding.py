@@ -161,36 +161,36 @@ def test_sp_mesh_harmless_for_2d_family():
 
 
 def test_idle_sp_axis_does_not_overcount_kernel_weight_grads():
-    """An image-space Pallas kernel on a 2-D mesh replicates over the idle
+    """A batch-sharded Pallas kernel on a 2-D mesh replicates over the idle
     'sp' axis: its psum'd weight-grad partials must cover ONLY the axes
     that shard inputs (parallel/kernel_sharding._reduce_axes) — a psum over
-    all mesh axes would multiply the gradient by sp."""
+    all mesh axes would multiply the gradient by sp. Exercised through
+    siren_trunk's replicated trunk weights (batch sharded over 'data',
+    weights replicated; sp idle)."""
     from jax.sharding import NamedSharding, PartitionSpec as P
-    from lightning_gan_zoo_tpu.ops.pallas.resnet_block import (
-        fused_block_core, plain_core)
+    from lightning_gan_zoo_tpu.ops.pallas.siren_trunk import siren_trunk
 
     mesh = pmesh.make_mesh(8, sp=2)           # data=4 shards b, sp idles
-    k = jax.random.split(jax.random.PRNGKey(3), 5)
-    x = jax.random.normal(k[0], (8, 8, 8, 16)) * 0.5
-    w1 = jax.random.normal(k[1], (3, 3, 16, 16)) * 0.1
-    b1 = jax.random.normal(k[2], (16,)) * 0.1
-    w2 = jax.random.normal(k[3], (3, 3, 16, 16)) * 0.1
-    b2 = jax.random.normal(k[4], (16,)) * 0.1
+    B, M, CIN, HID, L, NF = 8, 16, 3, 16, 3, 2
+    k = jax.random.split(jax.random.PRNGKey(3), 6)
+    x = jax.random.normal(k[0], (B, M, CIN))
+    w0k = jax.random.normal(k[1], (CIN, HID)) * 0.5
+    wmid = jax.random.normal(k[2], (L - 1, HID, HID)) * 0.2
+    bs = jax.random.normal(k[3], (L, HID)) * 0.1
+    gam = jax.random.normal(k[4], (B, NF, HID)) * 0.1 + 1.0
+    bet = jax.random.normal(k[5], (B, NF, HID)) * 0.1
 
-    def loss(fn, *a):
-        return jnp.sum(fn(*a) ** 2)
+    def loss(*a):
+        return jnp.sum(siren_trunk(*a, (30.0, 1.0, 1.0), True)
+                       .astype(jnp.float32) ** 2)
 
     bsh = NamedSharding(mesh, P("data"))
     rep = NamedSharding(mesh, P())
     with pmesh.mesh_context(mesh):
-        gs = jax.jit(
-            jax.grad(lambda *a: loss(
-                lambda x, w1, b1, w2, b2: fused_block_core(x, w1, b1, w2, b2,
-                                                           True), *a),
-                     argnums=(1, 3)),
-            in_shardings=(bsh, rep, rep, rep, rep))(x, w1, b1, w2, b2)
-    gr = jax.grad(lambda *a: loss(plain_core, *a), argnums=(1, 3))(
-        x, w1, b1, w2, b2)
+        gs = jax.jit(jax.grad(loss, argnums=(1, 2, 3)),
+                     in_shardings=(bsh, rep, rep, rep, bsh, bsh))(
+            x, w0k, wmid, bs, gam, bet)
+    gr = jax.grad(loss, argnums=(1, 2, 3))(x, w0k, wmid, bs, gam, bet)
     for got, want in zip(gs, gr):
         scale = max(1.0, float(jnp.max(jnp.abs(want))))
         np.testing.assert_allclose(np.asarray(got) / scale,

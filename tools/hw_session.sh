@@ -1,12 +1,19 @@
 #!/bin/bash
 # Staged hardware session for when the axon tunnel is available: validate
-# the two pending Pallas kernels (ops/pallas/{adain,resnet_block}.py), then
-# A/B their e2e effect, logging everything to /tmp/hw_session.log.
+# the production Pallas kernels (ops/pallas/{trilinear,siren_trunk}.py)
+# on-chip, sanity-run each family, then capture the full scoreboard,
+# logging everything to /tmp/hw_session.log.
 #
 # Every stage is its own timeout-bounded process (a wedged Mosaic
-# remote-compile killed the tunnel endpoint once this round — ROADMAP.md);
+# remote-compile killed the tunnel endpoint once in round 3 — ROADMAP.md);
 # a dead stage leaves the rest of the list runnable after recovery.
-# Usage: bash tools/hw_session.sh [start_stage]   (default: run all)
+# Usage: bash tools/hw_session.sh
+#
+# History (round 5): the original stage list validated the two then-pending
+# kernels (fused AdaIN epilogue, fused ResNet block). All four correctness
+# stages PASSED on the chip, but both kernels REGRESSED their e2e A/B
+# (hologan 17.54 vs 15.24 ms/superstep; r1 34.02 vs 18.87) and were
+# deleted — measurement record in BASELINE.md "kernel verdicts".
 set -u
 cd "$(dirname "$0")/.."
 LOG=/tmp/hw_session.log
@@ -19,34 +26,20 @@ run() {  # run <name> <timeout_s> <cmd...>
   echo "--- rc=$rc ---" | tee -a "$LOG"
 }
 
-# stage 1: kernel micro-validation (compile + fwd/bwd parity on-chip)
-# timeouts: measured r5 on the live chip — adain compiles in <60 s, the
-# resnet Mosaic compile needs 7-15 min through the tunnel (the r5 420 s
-# budget produced a false timeout; the same stage passed at ~13 min)
-run adain_tiny  300 python tools/validate_kernels_hw.py adain_tiny
-run adain_full  300 python tools/validate_kernels_hw.py adain_full
-run resnet_tiny 1200 python tools/validate_kernels_hw.py resnet_tiny
-run resnet_full 1500 python tools/validate_kernels_hw.py resnet_full
+# stage 1: kernel micro-validation (compile + fwd/bwd parity on-chip).
+# Mosaic remote compiles through the tunnel can take minutes cold.
+run trilinear_tiny 600 python tools/validate_kernels_hw.py trilinear_tiny
+run trilinear_full 900 python tools/validate_kernels_hw.py trilinear_full
+run siren_tiny     600 python tools/validate_kernels_hw.py siren_tiny
+run siren_full     900 python tools/validate_kernels_hw.py siren_full
 
-# stage 2: e2e A/B (plain first = also revalidates the default path after
-# the kernel-sharding refactor; tunnel variance ±15-30% — prefer the
-# device_ms_per_superstep field over the e2e value)
-run hologan_plain 900 env BENCH_EXPT=hologan python bench.py
-run hologan_fused 900 env BENCH_EXPT=hologan \
-    BENCH_EXTRA="generator.fused_adain=always discriminator.fused_norm=always" \
-    python bench.py
-run r1_plain 900 env BENCH_EXPT=gan_stability_r1 python bench.py
-run r1_fused 1200 env BENCH_EXPT=gan_stability_r1 \
-    BENCH_EXTRA="generator.fuse=always discriminator.fuse=always" \
-    python bench.py
+# stage 2: per-family single-chip sanity (tunnel variance ±15-30% — prefer
+# the device_ms_per_superstep field over the e2e value)
+run hologan_sanity 900 env BENCH_EXPT=hologan python bench.py
+run pigan_sanity   900 env BENCH_EXPT=pigan BENCH_BATCH=32 python bench.py
 
-# stage 3: single-chip sanity for the other kernel families after the
-# batch_partitioned gate (pigan exercises siren_trunk, hologan trilinear
-# already covered above)
-run pigan_sanity 900 env BENCH_EXPT=pigan BENCH_BATCH=32 python bench.py
-
-# stage 4: the full driver scoreboard (all 7 families + fid_eval row with
-# device_ms/mfu) — the BENCH_r04 content. Generous timeout: folded
+# stage 3: the full driver scoreboard (all 7 families + fid_eval row with
+# device_ms/mfu) — the BENCH_r05 content. Generous timeout: folded
 # megastep cold compiles through the tunnel run 5-15 min per family.
 run scoreboard 7200 python bench.py
 run fid_eval   1800 env BENCH_FID=1 python bench.py

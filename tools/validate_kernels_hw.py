@@ -1,18 +1,25 @@
 #!/usr/bin/env python
-"""Staged hardware validation for unproven Pallas kernels.
+"""Staged hardware validation for the production Pallas kernels.
 
 One stage per process invocation so a wedged Mosaic remote-compile (the
 round-3 tunnel death, ROADMAP.md) is bounded by the caller's `timeout`
 and leaves the next stage runnable once the tunnel recovers:
 
-    timeout 300 python tools/validate_kernels_hw.py adain_tiny
-    timeout 300 python tools/validate_kernels_hw.py adain_full
-    timeout 420 python tools/validate_kernels_hw.py resnet_tiny
-    timeout 600 python tools/validate_kernels_hw.py resnet_full
+    timeout 300 python tools/validate_kernels_hw.py trilinear_tiny
+    timeout 600 python tools/validate_kernels_hw.py trilinear_full
+    timeout 300 python tools/validate_kernels_hw.py siren_tiny
+    timeout 600 python tools/validate_kernels_hw.py siren_full
 
 Each stage compiles + runs the kernel forward AND backward at the stated
 shape, checks parity vs the plain-XLA reference, and prints one
-`OK <stage> fwd+bwd max_err=...` line.
+`OK <stage> max_err=...` line.
+
+History: this tool's original stages validated the two then-pending
+kernels (fused AdaIN epilogue, fused ResNet block). Both passed
+correctness on hardware (round 5) but REGRESSED their e2e supersteps in
+the A/B, so the kernels were deleted — see BASELINE.md "kernel verdicts".
+The remaining stages cover the two kernels that ship enabled: the
+trilinear MXU resample (hologan) and the fused FiLM-SIREN trunk (pigan).
 """
 from __future__ import annotations
 
@@ -24,77 +31,87 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 def _report(stage, got, want):
     import numpy as np
-    err = float(np.max(np.abs(np.asarray(got, np.float32)
-                              - np.asarray(want, np.float32))))
-    print(f"OK {stage} max_err={err:.3e}")
+    got = np.asarray(got, np.float32)
+    want = np.asarray(want, np.float32)
+    err = float(np.max(np.abs(got - want)))
+    rel = err / max(1e-6, float(np.max(np.abs(want))))
+    print(f"OK {stage} max_err={err:.3e} rel={rel:.3e}")
 
 
-def _adain(shape, stage):
+def _trilinear(b, d, c, stage):
     import jax
     import jax.numpy as jnp
 
-    from lightning_gan_zoo_tpu.ops.pallas.adain import (fused_adain_act,
-                                                        plain_adain_act)
-    k = jax.random.split(jax.random.PRNGKey(0), 3)
-    c = shape[-1]
-    x = (jax.random.normal(k[0], shape) * 1.5).astype(jnp.bfloat16)
-    s = (jax.random.normal(k[1], (shape[0], c)) + 1.0).astype(jnp.bfloat16)
-    b = jax.random.normal(k[2], (shape[0], c)).astype(jnp.bfloat16)
+    from lightning_gan_zoo_tpu.ops.grid_sample import trilinear_resample
+    from lightning_gan_zoo_tpu.ops.pallas.trilinear import (
+        trilinear_resample_mxu)
+    k = jax.random.split(jax.random.PRNGKey(0), 2)
+    vox = jax.random.normal(k[0], (b, d, d, d, c))
+    coords = jax.random.uniform(k[1], (b, d * d * d, 3),
+                                minval=-0.5, maxval=d - 0.5)
 
-    def loss(fn, x, s, b):
-        return jnp.sum(jnp.square(fn(x, s, b)))
+    def loss(fn, vox, coords):
+        return jnp.sum(jnp.square(fn(vox, coords)))
 
-    fused = jax.jit(jax.value_and_grad(
-        lambda *a: loss(lambda x, s, b: fused_adain_act(x, s, b, 1e-8),
-                        *a), argnums=(0, 1, 2)))
-    plain = jax.jit(jax.value_and_grad(
-        lambda *a: loss(lambda x, s, b: plain_adain_act(x, s, b, 1e-8),
-                        *a), argnums=(0, 1, 2)))
-    (v1, g1) = fused(x, s, b)
-    (v0, g0) = plain(x, s, b)
+    mxu = jax.jit(jax.value_and_grad(
+        lambda *a: loss(trilinear_resample_mxu, *a), argnums=(0,)))
+    ref = jax.jit(jax.value_and_grad(
+        lambda *a: loss(trilinear_resample, *a), argnums=(0,)))
+    v1, g1 = mxu(vox, coords)
+    v0, g0 = ref(vox, coords)
     jax.block_until_ready(g1)
-    print(f"  value fused={float(v1):.4f} plain={float(v0):.4f}")
+    print(f"  value mxu={float(v1):.4f} ref={float(v0):.4f}")
     _report(stage, g1[0], g0[0])
 
 
-def _resnet(shape, fh, fo, stage):
+def _siren(b, m, stage):
+    """Fused vs plain through the IN-MODULE dispatch (SirenNet.fused),
+    matching tests/test_siren_trunk.py::test_module_fused_dispatch_*
+    but with the REAL (non-interpret) kernel on the chip."""
     import jax
     import jax.numpy as jnp
 
-    from lightning_gan_zoo_tpu.ops.pallas.resnet_block import (
-        eligible, fused_block_core, plain_core)
-    assert eligible(shape[1], shape[2], shape[3], fh, fo), "ineligible shape"
-    k = jax.random.split(jax.random.PRNGKey(1), 5)
-    x = (jax.random.normal(k[0], shape) * 0.8).astype(jnp.bfloat16)
-    w1 = jax.random.normal(k[1], (3, 3, shape[3], fh)) * 0.1
-    b1 = jax.random.normal(k[2], (fh,)) * 0.1
-    w2 = jax.random.normal(k[3], (3, 3, fh, fo)) * 0.1
-    b2 = jax.random.normal(k[4], (fo,)) * 0.1
+    from lightning_gan_zoo_tpu.nerf.siren import SirenNet
+    HID, NL = 64, 4
+    k = jax.random.split(jax.random.PRNGKey(1), 3)
+    x = jax.random.normal(k[0], (b, m, 3))
+    gam = jax.random.normal(k[1], (b, NL, HID)) * 0.1 + 1.0
+    bet = jax.random.normal(k[2], (b, NL, HID)) * 0.1
+    plain = SirenNet(HID, HID, NL, dtype=jnp.bfloat16, fused=False)
+    fused = SirenNet(HID, HID, NL, dtype=jnp.bfloat16, fused=True)
+    variables = plain.init(jax.random.PRNGKey(2), x, gam, bet)
 
-    def loss(fn, x, w1, b1, w2, b2):
-        return jnp.sum(jnp.square(fn(x, w1, b1, w2, b2)))
+    def loss(net, v, x, gam, bet):
+        return jnp.sum(jnp.square(
+            net.apply(v, x, gam, bet).astype(jnp.float32)))
 
-    fused = jax.jit(jax.value_and_grad(
-        lambda *a: loss(fused_block_core, *a), argnums=(0, 1, 3)))
-    plain = jax.jit(jax.value_and_grad(
-        lambda *a: loss(plain_core, *a), argnums=(0, 1, 3)))
-    v1, g1 = fused(x, w1, b1, w2, b2)
-    v0, g0 = plain(x, w1, b1, w2, b2)
+    f1 = jax.jit(jax.value_and_grad(
+        lambda v: loss(fused, v, x, gam, bet)))
+    f0 = jax.jit(jax.value_and_grad(
+        lambda v: loss(plain, v, x, gam, bet)))
+    v1, g1 = f1(variables)
+    v0, g0 = f0(variables)
     jax.block_until_ready(g1)
     print(f"  value fused={float(v1):.4f} plain={float(v0):.4f}")
-    _report(stage, g1[1], g0[1])
+    l1 = jax.tree_util.tree_leaves(g1)
+    l0 = jax.tree_util.tree_leaves(g0)
+    import numpy as np
+    err = max(float(np.max(np.abs(np.asarray(a, np.float32)
+                                  - np.asarray(b0, np.float32))))
+              for a, b0 in zip(l1, l0))
+    print(f"OK {stage} max_err={err:.3e}")
 
 
 STAGES = {
-    "adain_tiny": lambda: _adain((2, 8, 8, 64), "adain_tiny"),
-    "adain_full": lambda: _adain((32, 64, 64, 64), "adain_full"),
-    "resnet_tiny": lambda: _resnet((2, 8, 8, 16), 16, 16, "resnet_tiny"),
-    "resnet_full": lambda: _resnet((8, 128, 128, 16), 16, 16, "resnet_full"),
+    "trilinear_tiny": lambda: _trilinear(2, 8, 8, "trilinear_tiny"),
+    "trilinear_full": lambda: _trilinear(32, 16, 64, "trilinear_full"),
+    "siren_tiny": lambda: _siren(2, 256, "siren_tiny"),
+    "siren_full": lambda: _siren(8, 4096, "siren_full"),
 }
 
 
 if __name__ == "__main__":
-    stage = sys.argv[1] if len(sys.argv) > 1 else "adain_tiny"
+    stage = sys.argv[1] if len(sys.argv) > 1 else "trilinear_tiny"
     import jax
     print(f"backend={jax.default_backend()} devices={jax.devices()}")
     STAGES[stage]()
