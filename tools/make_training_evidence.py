@@ -158,10 +158,10 @@ def main(argv):
                   for p in (run_dir / "figures").glob("epoch_*")]
     last = max(fig_epochs) if fig_epochs else None
     if last is not None:
-        for anim in ("Interpolation.gif", "AzimuthGif.gif"):
-            src = run_dir / "figures" / f"epoch_{last}" / anim
-            if src.exists():
-                shutil.copy(src, out_dir / anim.lower())
+        # every animation figure the run produced (Interpolation,
+        # AzimuthGif, ElevationGif, Interpolation3d, ...)
+        for src in sorted((run_dir / "figures" / f"epoch_{last}").glob("*.gif")):
+            shutil.copy(src, out_dir / src.name.lower())
     print(f"wrote {out_dir}: losses({len(loss)} epochs), "
           f"fid({len(fid)} points), progression epochs {eps}, "
           f"azimuth progression epochs {az_eps}, anims from epoch {last}")

@@ -17,14 +17,20 @@ FACTORS identity (z) from pose (camera), so this scores exactly that:
      keeps controlling identity while the camera moves (albedo is
      azimuth-invariant by construction in the dataset).
 
+Scores either volumetric family trained on the shapes dataset — the π-GAN
+evidence run (default) or the HoloGAN one (``--family hologan``); both
+generators take the shared 6-dof ``view_in`` rows (figures/types.py
+_view_in), so the commanded-azimuth sweep is the same protocol.
+
 Usage:
   PYTHONPATH= JAX_PLATFORMS=cpu python tools/shapes_score.py \
-      <ckpt_dir_or_path> [--json]
+      <ckpt_dir_or_path> [--json] [--family pigan|hologan]
   python tools/shapes_score.py --init    # untrained-generator baseline
 """
 from __future__ import annotations
 
 import json
+import math
 import sys
 from pathlib import Path
 
@@ -33,26 +39,45 @@ import numpy as np
 REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
 
-# must match the evidence-run model config (docs/TRAINING_EVIDENCE.md) so
-# the checkpoint template trees line up
-OVERRIDES = [
-    "+expt=pigan", "machine=local", "dataset=synthetic",
-    "train.img_size=32",
-    "nerf.siren_dim_hidden=48", "nerf.siren_num_layers=3",
-    "nerf.n_pts_per_ray=8", "nerf.n_pts_per_ray_fine=8",
-    "model.noise_dim=64", "train.features_disc=32",
-    "resolution_annealing.resolutions=[16,32,32]",
-    "variable_batch_size.batch_sizes=[16,16,16]",
-    "accumulate_grad_batches=1", "nerf.white_bg=True",
-    "calc_fid=False", "save_ckpts=False", "seed=42",
-]
+# per-family model config — must match the evidence-run CLI commands
+# (docs/TRAINING_EVIDENCE.md) so the checkpoint template trees line up
+FAMILIES = {
+    "pigan": dict(
+        overrides=[
+            "+expt=pigan", "machine=local", "dataset=synthetic",
+            "train.img_size=32",
+            "nerf.siren_dim_hidden=48", "nerf.siren_num_layers=3",
+            "nerf.n_pts_per_ray=8", "nerf.n_pts_per_ray_fine=8",
+            "model.noise_dim=64", "train.features_disc=32",
+            "resolution_annealing.resolutions=[16,32,32]",
+            "variable_batch_size.batch_sizes=[16,16,16]",
+            "accumulate_grad_batches=1", "nerf.white_bg=True",
+            "calc_fid=False", "save_ckpts=False", "seed=42",
+        ],
+        img=32,
+        elev_rad=0.0,          # pigan cameras: elevation 0 = equator
+        sample_res=True,       # generate() takes sample_res=<img>
+        tanh_range=False,      # renderer emits [0,1] RGB (+silhouette)
+    ),
+    "hologan": dict(
+        overrides=[
+            # the evidence run uses the PRODUCTION hologan config (no
+            # model shrinking): batch 32, img 64, noise 128
+            "+expt=hologan", "dataset=synthetic",
+            "calc_fid=False", "save_ckpts=False", "seed=42",
+        ],
+        img=64,
+        elev_rad=math.pi / 2,  # hologan view_args: elevation 90 = equator
+        sample_res=False,      # fixed-resolution voxel generator
+        tanh_range=True,       # tanh output in [-1, 1] -> unnormalise
+    ),
+}
 
-IMG = 32
 N_OBJS, N_VIEWS = 16, 9          # GAN sweep: objects x commanded azimuths
 AZ_LO, AZ_HI = 225.0, 315.0      # inside the training span (220-320)
 
 
-def labelled_real(n: int, seed: int):
+def labelled_real(n: int, seed: int, img: int):
     """n rendered real views with known azimuth -> (imgs [0,1], azim_deg)."""
     import jax
     import jax.numpy as jnp
@@ -74,17 +99,17 @@ def labelled_real(n: int, seed: int):
         cams = look_at_view_transform(CAM_DIST, np.zeros(k, np.float32),
                                       azim)
         out = render(jnp.asarray(verts), jnp.asarray(faces), cams,
-                     img_size=IMG, colors=jnp.asarray(colors))
+                     img_size=img, colors=jnp.asarray(colors))
         imgs.append(np.asarray(jnp.clip(out, 0.0, 1.0), np.float32))
         azs.append(azim)
         done += k
     return np.concatenate(imgs)[:n], np.concatenate(azs)[:n]
 
 
-def train_regressor(n_train: int = 1500, n_test: int = 400):
+def train_regressor(img: int, n_train: int = 1500, n_test: int = 400):
     from sklearn.neural_network import MLPRegressor
 
-    x, y = labelled_real(n_train + n_test, seed=123)
+    x, y = labelled_real(n_train + n_test, seed=123, img=img)
     x = x.reshape(len(x), -1)
     reg = MLPRegressor(hidden_layer_sizes=(256,), max_iter=300,
                        random_state=0)
@@ -94,8 +119,8 @@ def train_regressor(n_train: int = 1500, n_test: int = 400):
     return reg, mae
 
 
-def sweep_from_ckpt(ckpt: Path | None):
-    """(N_OBJS, N_VIEWS, IMG, IMG, 3) images + commanded azimuths (deg)."""
+def sweep_from_ckpt(ckpt: Path | None, fam: dict):
+    """(N_OBJS, N_VIEWS, img, img, 3) images + commanded azimuths (deg)."""
     import jax
     import jax.numpy as jnp
 
@@ -104,7 +129,7 @@ def sweep_from_ckpt(ckpt: Path | None):
     from lightning_gan_zoo_tpu.runtime.checkpoint import CheckpointManager
     from lightning_gan_zoo_tpu.runtime.state import create_train_state
 
-    cfg = compose(REPO / "conf", OVERRIDES)
+    cfg = compose(REPO / "conf", fam["overrides"])
     task = instantiate(cfg.model.lm, cfg, "/tmp/shapes_score")
     g_vars, d_vars = task.init(jax.random.PRNGKey(0))
     g_params = dict(g_vars)["params"]
@@ -121,14 +146,18 @@ def sweep_from_ckpt(ckpt: Path | None):
 
     azim = np.linspace(AZ_LO, AZ_HI, N_VIEWS).astype(np.float32)
     z = task.sample_z(jax.random.PRNGKey(11), N_OBJS)
+    kw = {"sample_res": fam["img"]} if fam["sample_res"] else {}
     gen = jax.jit(lambda zz, vv: task.generate(
         g_params, g_state, zz, rng=jax.random.PRNGKey(3),
-        sample_res=IMG, view_in=vv))
+        view_in=vv, **kw))
     frames = []
     for az in azim:     # one dispatch per azimuth: all objects batched
-        v = np.tile(np.array([np.deg2rad(az), 0.0, 1.0, 0.0, 0.0, 0.0],
+        v = np.tile(np.array([np.deg2rad(az), fam["elev_rad"],
+                              1.0, 0.0, 0.0, 0.0],
                              np.float32), (N_OBJS, 1))
-        img = gen(z, jnp.asarray(v))[..., :3]   # renderer emits RGB+silhouette
+        img = gen(z, jnp.asarray(v))[..., :3]   # pigan emits RGB+silhouette
+        if fam["tanh_range"]:                   # hologan: tanh in [-1, 1]
+            img = img * 0.5 + 0.5
         frames.append(np.asarray(jnp.clip(img, 0.0, 1.0), np.float32))
     return np.stack(frames, axis=1), azim   # (objs, views, H, W, 3)
 
@@ -156,13 +185,19 @@ def identity_consistency(sweep: np.ndarray) -> dict:
 def main(argv):
     as_json = "--json" in argv
     argv = [a for a in argv if a != "--json"]
+    family = "pigan"
+    if "--family" in argv:
+        i = argv.index("--family")
+        family = argv[i + 1]
+        del argv[i:i + 2]
+    fam = FAMILIES[family]
     ckpt = None if (not argv or argv[0] == "--init") else Path(argv[0])
 
-    reg, real_mae = train_regressor()
+    reg, real_mae = train_regressor(img=fam["img"])
     print(f"# azimuth regressor real-data MAE: {real_mae:.2f} deg "
           f"(90-deg span ceiling; uniform-guess baseline ~22.5)")
-    sweep, azim = sweep_from_ckpt(ckpt)
-    flat = sweep.reshape(-1, IMG * IMG * 3)
+    sweep, azim = sweep_from_ckpt(ckpt, fam)
+    flat = sweep.reshape(-1, fam["img"] * fam["img"] * 3)
     pred = reg.predict(flat).reshape(sweep.shape[:2])
     commanded = np.tile(azim, (sweep.shape[0], 1))
     # UNsupervised 3D GANs are free to learn the MIRRORED azimuth
@@ -181,7 +216,7 @@ def main(argv):
         "pose_pearson_r": round(r, 4),
         "real_regressor_mae_deg": round(real_mae, 2),
         **identity_consistency(sweep),
-        "n_objects": N_OBJS, "n_views": N_VIEWS,
+        "family": family, "n_objects": N_OBJS, "n_views": N_VIEWS,
     }
     print(json.dumps(out) if as_json else
           "\n".join(f"{k}: {v}" for k, v in out.items()))
