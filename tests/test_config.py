@@ -121,3 +121,22 @@ def test_cli_package_redirect_unknown_group_raises():
     with pytest.raises(ComposeError):
         compose(CONF_DIR, ["+expt=dc_gan", "dataset=mnist",
                            "+figuers@figures.x=sample_grid"])
+
+
+def test_shapes_score_family_configs_compose():
+    """tools/shapes_score.py hard-codes the evidence-run override lists;
+    pin that both families still compose and target the right task/model
+    shapes, so conf/ drift can't silently break checkpoint scoring
+    (docs/TRAINING_EVIDENCE.md reproduce commands)."""
+    from tools.shapes_score import FAMILIES
+
+    cfg = compose(CONF_DIR, FAMILIES["pigan"]["overrides"])
+    assert cfg.model.lm._target_.endswith("tasks.PIGAN")
+    assert cfg.train.img_size == FAMILIES["pigan"]["img"] == 32
+    assert cfg.nerf.siren_dim_hidden == 48
+
+    cfg = compose(CONF_DIR, FAMILIES["hologan"]["overrides"])
+    assert cfg.model.lm._target_.endswith("tasks.HOLOGAN")
+    assert cfg.train.img_size == FAMILIES["hologan"]["img"] == 64
+    assert cfg.model.noise_dim == 128
+    assert cfg.train.batch_size == 32
