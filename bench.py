@@ -143,9 +143,15 @@ def scoreboard():
         proc = subprocess.run(
             [sys.executable, str(REPO / "bench.py")], env=e,
             capture_output=True, text=True, timeout=timeout)
-        line = [ln for ln in proc.stdout.splitlines()
-                if ln.startswith("{")][-1]
-        return json.loads(line)
+        lines = [ln for ln in proc.stdout.splitlines()
+                 if ln.startswith("{")]
+        if not lines:
+            # surface the child's actual failure, not an IndexError
+            err = (proc.stderr or "").strip().splitlines()
+            detail = " | ".join(err[-3:]) if err else "no JSON output"
+            raise RuntimeError(
+                f"family subprocess rc={proc.returncode}: {detail}")
+        return json.loads(lines[-1])
 
     for fam in SCOREBOARD_ORDER:
         if remaining() < BUDGET_FLOOR_S:
@@ -201,12 +207,18 @@ def scoreboard():
                 except Exception:
                     pass
         except Exception as e:  # flaky tunnel compile, timeout, ...
-            if (env.get("BENCH_FOLD", "1") != "1"
+            if (isinstance(e, subprocess.TimeoutExpired)
+                    and env.get("BENCH_FOLD", "1") != "1"
                     and remaining() > BUDGET_FLOOR_S):
-                # never lose a row to a slow folded compile — retry unfolded
+                # never lose a row to a slow folded compile — retry unfolded.
+                # Only a TIMEOUT earns the retry: a crashed subprocess would
+                # crash identically unfolded and just burn the budget twice.
                 try:
                     env2 = dict(env, BENCH_FOLD="1")
-                    env2.pop("BENCH_STEPS", None)
+                    if "BENCH_STEPS" not in os.environ:
+                        # drop only the scoreboard's own folded-steps
+                        # default, never a user-exported BENCH_STEPS
+                        env2.pop("BENCH_STEPS", None)
                     rows[fam] = run_once(env2, min(fam_cap, remaining()))
                     rows[fam]["note"] = "unfolded fallback (folded timed out)"
                 except Exception as e2:
@@ -306,7 +318,6 @@ def main():
                       os.environ["JAX_COMPILATION_CACHE_DIR"])
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     import jax.numpy as jnp
-    import numpy as np
 
     from lightning_gan_zoo_tpu.config import compose
     from lightning_gan_zoo_tpu.config.registry import instantiate
@@ -353,27 +364,11 @@ def main():
                                  folded=fold > 1)
 
     n_micro = microbatch_count(df, gf)
-    rng0 = np.random.default_rng(0)
-    batches = {
-        "image": jnp.asarray(rng0.normal(
-            size=(n_micro, batch, img, img, 3)).astype(np.float32) * 0.5),
-        "label": jnp.zeros((n_micro, batch), jnp.int32),
-    }
-    if expt == "anigan":
-        # synthetic mesh analyses (the birds npz schema)
-        def sa(shape):
-            return jnp.asarray(rng0.normal(size=(n_micro, batch) + shape)
-                               .astype(np.float32))
-        quat = np.tile([1.0, 0, 0, 0], (n_micro, batch, 1))
-        cam = np.concatenate([np.ones((n_micro, batch, 1)),
-                              np.zeros((n_micro, batch, 2)), quat], -1)
-        batches["shape_analysis"] = {
-            "cam_pred": jnp.asarray(cam.astype(np.float32)),
-            "mean_shape": sa((40, 3)), "verts": sa((40, 3)),
-            "kp_verts": sa((15, 3)),
-            "mask_pred": jnp.asarray(rng0.uniform(
-                size=(n_micro, batch, img, img)).astype(np.float32)),
-        }
+    # one source of truth for the per-family synthetic batch schema
+    # (incl. the anigan shape-analysis dict) — cfg already carries the
+    # final BENCH_BATCH/BENCH_IMG recompose
+    from lightning_gan_zoo_tpu.parallel.family_runs import make_family_batches
+    batches = make_family_batches(cfg, expt, batch)
     if fold > 1:
         batches = jax.tree.map(
             lambda x: jnp.broadcast_to(x[None], (fold,) + x.shape), batches)
@@ -436,7 +431,9 @@ def main():
     ips = images_per_step * steps / dt
     ips_per_chip = ips / n_chips
     name = ("dcgan_celeba" if expt == "dc_gan" else expt)
-    anchor = FAMILY_ANCHOR.get(expt, REFERENCE_IMAGES_PER_SEC)
+    # no default: a family missing from FAMILY_ANCHOR gets the explicit
+    # "no comparable baseline" note below, not the CelebA 2500 anchor
+    anchor = FAMILY_ANCHOR.get(expt)
     if expt in DERIVED_ANCHOR_FAMILIES and flops_per_dispatch:
         # live derived anchor: V100 peak x utilisation / FLOPs-per-image at
         # the shapes actually benched — never goes stale vs the config

@@ -177,9 +177,17 @@ def identity_consistency(sweep: np.ndarray) -> dict:
             means[i, j] = img[fg].mean(0) if fg.any() else 1.0
     intra = float(np.linalg.norm(means.std(axis=1), axis=-1).mean())
     inter = float(np.linalg.norm(means.mean(axis=1).std(axis=0)))
+    # a collapsed/untrained generator (uniform gray, or no foreground at
+    # all) has inter ~ 0, which would make the ratio 0/0 -> a spuriously
+    # PERFECT score; report it as undefined instead
+    ratio = (round(intra / inter, 4) if inter > 1e-3
+             else None)
     return {"albedo_intra_view_std": round(intra, 4),
             "albedo_inter_object_std": round(inter, 4),
-            "identity_ratio": round(intra / max(inter, 1e-6), 4)}
+            "identity_ratio": ratio,
+            **({} if ratio is not None else
+               {"identity_note": "undefined: no inter-object albedo spread "
+                                 "(collapsed or foreground-free output)"})}
 
 
 def main(argv):
@@ -188,6 +196,9 @@ def main(argv):
     family = "pigan"
     if "--family" in argv:
         i = argv.index("--family")
+        if i + 1 >= len(argv) or argv[i + 1] not in FAMILIES:
+            sys.exit(f"usage: shapes_score.py [<ckpt>|--init] [--json] "
+                     f"[--family {'|'.join(FAMILIES)}]")
         family = argv[i + 1]
         del argv[i:i + 2]
     fam = FAMILIES[family]

@@ -12,7 +12,9 @@ and leaves the next stage runnable once the tunnel recovers:
 
 Each stage compiles + runs the kernel forward AND backward at the stated
 shape, checks parity vs the plain-XLA reference, and prints one
-`OK <stage> max_err=...` line.
+`OK <stage> max_err=...` line — or a `FAIL` line and exit code 1 when the
+relative error exceeds TOL_REL (so automation gates on parity, not just
+on crash/timeout).
 
 History: this tool's original stages validated the two then-pending
 kernels (fused AdaIN epilogue, fused ResNet block). Both passed
@@ -29,13 +31,29 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 
+# Parity gate: the kernels run their streams in bf16 (~2-3 decimal digits)
+# against an f32-accumulating XLA reference, so 5e-2 RELATIVE to the
+# reference's max magnitude is the pass line (the CPU interpret-mode tests
+# see ~1e-2; a broken kernel is orders of magnitude off, not percent).
+TOL_REL = 5e-2
+
+
+def _gate(stage, err, ref_mag):
+    import math
+    rel = err / max(1e-6, ref_mag)
+    if not math.isfinite(err) or rel > TOL_REL:
+        print(f"FAIL {stage} max_err={err:.3e} rel={rel:.3e} "
+              f"(tol rel={TOL_REL})")
+        sys.exit(1)
+    print(f"OK {stage} max_err={err:.3e} rel={rel:.3e}")
+
+
 def _report(stage, got, want):
     import numpy as np
     got = np.asarray(got, np.float32)
     want = np.asarray(want, np.float32)
     err = float(np.max(np.abs(got - want)))
-    rel = err / max(1e-6, float(np.max(np.abs(want))))
-    print(f"OK {stage} max_err={err:.3e} rel={rel:.3e}")
+    _gate(stage, err, float(np.max(np.abs(want))))
 
 
 def _trilinear(b, d, c, stage):
@@ -99,7 +117,9 @@ def _siren(b, m, stage):
     err = max(float(np.max(np.abs(np.asarray(a, np.float32)
                                   - np.asarray(b0, np.float32))))
               for a, b0 in zip(l1, l0))
-    print(f"OK {stage} max_err={err:.3e}")
+    ref_mag = max(float(np.max(np.abs(np.asarray(b0, np.float32))))
+                  for b0 in l0)
+    _gate(stage, err, ref_mag)
 
 
 STAGES = {
